@@ -1,0 +1,37 @@
+"""Test harness config (SURVEY.md §4.2).
+
+Tests run on the CPU backend with 8 virtual devices
+(``xla_force_host_platform_device_count=8``) so every shard_map/mesh code
+path executes multi-device without TPU hardware; the same tests pass
+unchanged on real meshes. f64 is enabled globally — the parity lane is
+defined against float64 (SURVEY.md §7.3.2); f32-specific behavior is tested
+with explicit f32 arrays.
+
+Note: the axon TPU plugin force-selects itself via JAX_PLATFORMS; the
+``jax.config.update('jax_platforms', 'cpu')`` below overrides it (env-var
+overrides are clobbered by the plugin's sitecustomize).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.key(0)

@@ -1,0 +1,189 @@
+"""Unit tests: GP posterior/MLL parity vs f64 oracle + sklearn (SURVEY.md §4.2).
+
+Parity contract: rtol 1e-5 on posterior mean/variance [B:5], established in
+the f64 lane (SURVEY.md §7.3.2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from sklearn.gaussian_process import GaussianProcessRegressor
+from sklearn.gaussian_process.kernels import Matern, WhiteKernel
+
+from oracle import numpy_gp as onp
+from turbojax import gp as G
+from turbojax import linalg as L
+from turbojax import transforms as T
+from turbojax.config import GPConfig
+
+CFG = GPConfig(kernel="matern52", jitter=0.0, noise_floor=1e-6)
+
+
+def _problem(rng, n=40, d=3, n_max=64):
+    x = rng.rand(n, d)
+    y = np.sin(3 * x[:, 0]) + 0.5 * np.cos(5 * x[:, 1]) + 0.1 * rng.randn(n)
+    x_buf = np.zeros((n_max, d))
+    x_buf[:n] = x
+    y_buf = np.zeros(n_max)
+    y_buf[:n] = y
+    mask = jnp.arange(n_max) < n
+    return x, y, jnp.asarray(x_buf), jnp.asarray(y_buf), mask
+
+
+def _raw(d, ls, s, noise, cfg=CFG):
+    return G.GPParams(
+        raw_lengthscale=T.unconstrain(jnp.full((d,), ls), *cfg.lengthscale_bounds),
+        raw_outputscale=T.unconstrain(jnp.asarray(s), *cfg.outputscale_bounds),
+        raw_noise=T.unconstrain(jnp.asarray(noise), *cfg.noise_bounds),
+        raw_mean=jnp.asarray(0.0),
+    )
+
+
+def test_posterior_parity_vs_oracle(rng):
+    """rtol 1e-5 parity on posterior mean/var [B:5] — masked buffers vs
+    dense f64 oracle, including y-standardization round trip."""
+    x, y, x_buf, y_buf, mask = _problem(rng)
+    ls, s, noise = 0.5, 1.5, 1e-3
+    raw = _raw(3, ls, s, noise)
+    state = G.make_gp_state(x_buf, y_buf, mask, raw, CFG)
+
+    # oracle fits standardized y with identical hypers
+    y_mean, y_sd = y.mean(), y.std()
+    gp = onp.NumpyGP("matern52", np.full(3, ls), s, noise).fit(x, (y - y_mean) / y_sd)
+    xs = rng.rand(25, 3)
+    mu_o, var_o = gp.posterior(xs)
+    mu_o = mu_o * y_sd + y_mean
+    var_o = var_o * y_sd**2
+
+    mu, var = G.gp_posterior(state, jnp.asarray(xs), CFG)
+    np.testing.assert_allclose(np.asarray(mu), mu_o, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), var_o, rtol=1e-5, atol=1e-10)
+
+
+def test_posterior_invariant_to_padding(rng):
+    """Same data in a bigger buffer gives bit-identical posterior structure."""
+    x, y, x_buf, y_buf, mask = _problem(rng, n=20, d=2, n_max=32)
+    raw = _raw(2, 0.4, 1.0, 1e-3)
+    s_small = G.make_gp_state(x_buf, y_buf, mask, raw, CFG)
+
+    big = 128
+    x_big = jnp.zeros((big, 2)).at[:20].set(jnp.asarray(x))
+    y_big = jnp.zeros((big,)).at[:20].set(jnp.asarray(y))
+    s_big = G.make_gp_state(x_big, y_big, jnp.arange(big) < 20, raw, CFG)
+
+    xs = jnp.asarray(rng.rand(10, 2))
+    mu1, var1 = G.gp_posterior(s_small, xs, CFG)
+    mu2, var2 = G.gp_posterior(s_big, xs, CFG)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), rtol=1e-12)
+
+
+def test_mll_parity_vs_oracle(rng):
+    x, y, x_buf, y_buf, mask = _problem(rng)
+    ls, s, noise = 0.5, 1.5, 1e-3
+    raw = _raw(3, ls, s, noise)
+    y_std, _, _ = T.standardize(y_buf, mask)
+    ours = float(G.mll(raw, x_buf, y_std, mask, CFG))
+    y_mean, y_sd = y.mean(), y.std()
+    gp = onp.NumpyGP("matern52", np.full(3, ls), s, noise).fit(x, (y - y_mean) / y_sd)
+    np.testing.assert_allclose(ours, gp.mll(), rtol=1e-8)
+
+
+def test_mll_grad_vs_finite_difference(rng):
+    x, y, x_buf, y_buf, mask = _problem(rng, n=15, d=2, n_max=24)
+    raw = _raw(2, 0.6, 1.2, 5e-3)
+    y_std, _, _ = T.standardize(y_buf, mask)
+
+    f = lambda r: G.mll(r, x_buf, y_std, mask, CFG)
+    g = jax.grad(f)(raw)
+    eps = 1e-6
+    for field in ["raw_lengthscale", "raw_outputscale", "raw_noise"]:
+        v = getattr(raw, field)
+        gv = np.atleast_1d(np.asarray(getattr(g, field)))
+        for i in range(np.atleast_1d(np.asarray(v)).size):
+            bump = np.zeros(np.atleast_1d(np.asarray(v)).shape)
+            bump[i] = eps
+            bump = jnp.asarray(bump.reshape(np.asarray(v).shape))
+            fd = (f(raw._replace(**{field: v + bump})) - f(raw._replace(**{field: v - bump}))) / (2 * eps)
+            np.testing.assert_allclose(gv[i], float(fd), rtol=1e-4, atol=1e-7)
+
+
+def test_parity_vs_sklearn(rng):
+    """Third-party cross-check: sklearn GaussianProcessRegressor with the
+    same fixed Matérn-5/2 hypers (SURVEY.md C22)."""
+    x, y, x_buf, y_buf, mask = _problem(rng, n=30, d=3, n_max=48)
+    ls, noise = 0.5, 1e-3
+    # sklearn: outputscale fixed to 1, no y-normalization, alpha = noise
+    sk = GaussianProcessRegressor(
+        kernel=Matern(length_scale=np.full(3, ls), nu=2.5),
+        alpha=noise, optimizer=None, normalize_y=False,
+    ).fit(x, y)
+    xs = rng.rand(12, 3)
+    mu_sk, sd_sk = sk.predict(xs, return_std=True)
+
+    # ours: disable standardization effects by feeding pre-standardized... use
+    # raw y and mean=0, outputscale=1; undo our standardization manually.
+    raw = _raw(3, ls, 1.0, noise)
+    state = G.make_gp_state(x_buf, y_buf, mask, raw, CFG)
+    mu, var = G.gp_posterior(state, jnp.asarray(xs), CFG, standardized=True)
+    y_mean, y_sd = y.mean(), y.std()
+    # sklearn fitted raw y; rescale ours back and rescale the kernel:
+    # standardized-y GP with s=1 == raw-y GP with s=y_sd² only if noise also
+    # scales; instead compare against an oracle fit on standardized y.
+    gp = onp.NumpyGP("matern52", np.full(3, ls), 1.0, noise).fit(x, (y - y_mean) / y_sd)
+    mu_o, var_o = gp.posterior(xs)
+    np.testing.assert_allclose(np.asarray(mu), mu_o, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), var_o, rtol=1e-6, atol=1e-12)
+    # and the oracle itself agrees with sklearn on the raw-y problem
+    gp_raw = onp.NumpyGP("matern52", np.full(3, ls), 1.0, noise).fit(x, y)
+    mu_or, var_or = gp_raw.posterior(xs, include_noise=False)
+    np.testing.assert_allclose(mu_or, mu_sk, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.sqrt(var_or), sd_sk, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("optimizer", ["lbfgs", "adam"])
+def test_fit_recovers_hypers(rng, key, optimizer):
+    """Fit on data drawn from a known GP recovers a competitive MLL."""
+    n, d, n_max = 60, 2, 64
+    x = rng.rand(n, d)
+    true = onp.NumpyGP("matern52", np.full(d, 0.3), 1.0, 1e-4)
+    k = onp.kernel_matrix("matern52", x, x, np.full(d, 0.3), 1.0) + 1e-4 * np.eye(n)
+    y = np.linalg.cholesky(k) @ rng.randn(n)
+
+    x_buf = jnp.zeros((n_max, d)).at[:n].set(jnp.asarray(x))
+    y_buf = jnp.zeros((n_max,)).at[:n].set(jnp.asarray(y))
+    mask = jnp.arange(n_max) < n
+    cfg = GPConfig(kernel="matern52", fit_optimizer=optimizer, fit_maxiter=60, fit_restarts=3)
+    state = G.fit_gp(key, x_buf, y_buf, mask, cfg)
+
+    # fitted MLL should at least match the true-hyper MLL within tolerance
+    y_std, _, y_sd = T.standardize(y_buf, mask)
+    fitted_mll = float(G.mll(state.raw, x_buf, y_std, mask, cfg))
+    true_raw = _raw(d, 0.3, 1.0 / float(y_sd) ** 2, 1e-4, cfg)
+    true_mll = float(G.mll(true_raw, x_buf, y_std, mask, cfg))
+    assert fitted_mll > true_mll - 3.0
+    ls = np.asarray(state.params["lengthscale"])
+    assert np.all(ls > 0.03) and np.all(ls < 5.0)
+
+
+def test_posterior_chunking_is_exact(rng):
+    x, y, x_buf, y_buf, mask = _problem(rng, n=25, d=2, n_max=32)
+    raw = _raw(2, 0.5, 1.0, 1e-3)
+    state = G.make_gp_state(x_buf, y_buf, mask, raw, CFG)
+    xs = jnp.asarray(rng.rand(40, 2))
+    mu1, var1 = G.gp_posterior(state, xs, CFG)
+    mu2, var2 = G.gp_posterior(state, xs, CFG, chunk_size=8)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), rtol=1e-10)
+
+
+def test_posterior_cov_consistent_with_var(rng):
+    x, y, x_buf, y_buf, mask = _problem(rng, n=25, d=2, n_max=32)
+    raw = _raw(2, 0.5, 1.0, 1e-3)
+    state = G.make_gp_state(x_buf, y_buf, mask, raw, CFG)
+    xs = jnp.asarray(rng.rand(15, 2))
+    mu_v, var = G.gp_posterior(state, xs, CFG)
+    mu_c, cov = G.posterior_cov(state, xs, CFG)
+    np.testing.assert_allclose(np.asarray(mu_v), np.asarray(mu_c), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var), np.diag(np.asarray(cov)), rtol=1e-6, atol=1e-10)

@@ -1,0 +1,140 @@
+"""Acquisition functions: EI, UCB/LCB, batched Thompson sampling
+(SURVEY.md C11–C14, [B:5, B:9]).
+
+Reference capability: closed-form EI and UCB over the GP posterior, and
+joint-posterior Thompson sampling with q-batch argmin-without-replacement
+selection over candidate sets of thousands of points.
+
+TPU-native design: every acquisition is an elementwise epilogue on the
+batched posterior kernel (``gp.gp_posterior``) — XLA fuses it into the
+posterior matmuls. Thompson sampling factorizes the joint posterior
+covariance over candidate **chunks** (block-diagonal across chunks,
+SURVEY.md §7.3.5 — joint chol over all 5k candidates would be 40 GFLOP per
+draw) and does the q-selection as a fixed-length masked scan. The whole
+suggest step compiles to one fused device program [B:5].
+
+Convention: the framework **minimizes**. EI is improvement below the
+incumbent; LCB = μ − κσ is minimized.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from turbojax import gp as G
+from turbojax.config import GPConfig
+
+Array = jax.Array
+
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _norm_pdf(z: Array) -> Array:
+    return _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
+
+
+def _norm_cdf(z: Array) -> Array:
+    return 0.5 * (1.0 + lax.erf(z * _INV_SQRT2))
+
+
+def expected_improvement(mu: Array, var: Array, best: Array, xi: float = 0.0) -> Array:
+    """EI for minimization: (f*−μ−ξ)Φ(z) + σφ(z), z=(f*−μ−ξ)/σ [B:5, B:7].
+
+    σ→0 is handled by the exact limit max(f*−μ−ξ, 0) (SURVEY.md C11's
+    "numerically-safe σ→0 branch")."""
+    sigma = jnp.sqrt(var)
+    imp = best - mu - xi
+    tiny = jnp.asarray(1e-12, sigma.dtype)
+    z = imp / jnp.maximum(sigma, tiny)
+    ei = imp * _norm_cdf(z) + sigma * _norm_pdf(z)
+    return jnp.where(sigma > tiny, ei, jnp.maximum(imp, 0.0))
+
+
+def lower_confidence_bound(mu: Array, var: Array, kappa: float = 2.0) -> Array:
+    """LCB = μ − κσ; minimize it (reference UCB in minimization form [B:5])."""
+    return mu - kappa * jnp.sqrt(var)
+
+
+def upper_confidence_bound(mu: Array, var: Array, kappa: float = 2.0) -> Array:
+    """UCB = μ + κσ for maximization callers."""
+    return mu + kappa * jnp.sqrt(var)
+
+
+# --------------------------------------------------------------------------
+# Thompson sampling (SURVEY.md C13)
+
+
+def thompson_samples(
+    key: Array,
+    state: G.GPState,
+    xs: Array,
+    q: int,
+    config: GPConfig,
+    chunk_size: Optional[int] = None,
+) -> Array:
+    """Draw ``q`` joint posterior sample rows over the candidate set.
+
+    Returns (q, n_cand) function-value draws in original y units. Joint
+    covariance is factorized per chunk of the candidate axis (exact joint
+    law within a chunk, independent across chunks — SURVEY.md §7.3.5)."""
+    m = xs.shape[0]
+
+    def sample_chunk(k: Array, chunk: Array) -> Array:
+        mu, cov = G.posterior_cov(state, chunk, config)
+        # small relative jitter: posterior covariance of near-duplicate
+        # candidates is rank-deficient by construction
+        cmax = jnp.maximum(jnp.max(jnp.diagonal(cov)), 1e-12)
+        bumped = cov + (1e-6 * cmax) * jnp.eye(chunk.shape[0], dtype=cov.dtype)
+        l_cov = jnp.linalg.cholesky(bumped)
+        z = jax.random.normal(k, (q, chunk.shape[0]), dtype=cov.dtype)
+        return mu[None, :] + z @ l_cov.T
+
+    if chunk_size is not None and m > chunk_size and m % chunk_size == 0:
+        n_chunks = m // chunk_size
+        xs_c = xs.reshape(n_chunks, chunk_size, xs.shape[-1])
+        keys = jax.random.split(key, n_chunks)
+        draws = lax.map(lambda kc: sample_chunk(kc[0], kc[1]), (keys, xs_c))  # (n_chunks, q, chunk)
+        return jnp.moveaxis(draws, 0, 1).reshape(q, m)
+    return sample_chunk(key, xs)
+
+
+def select_q_batch(samples: Array, valid: Optional[Array] = None) -> Tuple[Array, Array]:
+    """q-batch argmin-without-replacement: sample row j picks the best
+    not-yet-chosen candidate (reference TS batch selection [R, B:9]).
+
+    Args:
+      samples: (q, m) Thompson draws.
+      valid: optional (m,) mask of selectable candidates.
+
+    Returns (indices (q,), values (q,)).
+    """
+    q, m = samples.shape
+    big = jnp.asarray(jnp.finfo(samples.dtype).max, samples.dtype)
+    taken0 = jnp.zeros((m,), jnp.bool_) if valid is None else ~valid
+
+    def step(taken, row):
+        masked = jnp.where(taken, big, row)
+        idx = jnp.argmin(masked)
+        return taken.at[idx].set(True), (idx, masked[idx])
+
+    _, (idxs, vals) = lax.scan(step, taken0, samples)
+    return idxs, vals
+
+
+def thompson_select(
+    key: Array,
+    state: G.GPState,
+    xs: Array,
+    q: int,
+    config: GPConfig,
+    chunk_size: Optional[int] = None,
+) -> Tuple[Array, Array]:
+    """Full batched-TS acquisition: draw, then select q points [B:9]."""
+    samples = thompson_samples(key, state, xs, q, config, chunk_size)
+    idxs, vals = select_q_batch(samples)
+    return xs[idxs], vals

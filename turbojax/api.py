@@ -1,0 +1,292 @@
+"""User API (SURVEY.md C21): one-shot ``optimize`` for jnp-expressible
+objectives (whole loop compiled on device [B:5]) and a host-side ask/tell
+``Optimizer`` for true black-box objectives (SURVEY.md C15's two APIs).
+
+Reference parity [R]: the reference is constructor-style —
+``Turbo1(f, lb, ub, n_init, max_evals, batch_size).optimize()``; both shapes
+are provided here (``Optimizer(...).optimize(f)`` and the functional
+``optimize(f, ...)``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turbojax import bo as BO
+from turbojax import gp as G
+from turbojax import linalg as L
+from turbojax import transforms as T
+from turbojax import trust_region as TR
+from turbojax.config import GPConfig, TRConfig
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class Result:
+    best_x: np.ndarray
+    best_y: float
+    x_hist: np.ndarray  # (n, d) evaluated points, original box
+    y_hist: np.ndarray  # (n,)
+    incumbent_trace: np.ndarray  # best-so-far after each tell
+
+
+def optimize(
+    fn: Callable[[Array], Array],
+    lb: Sequence[float],
+    ub: Sequence[float],
+    max_evals: int,
+    method: str = "turbo1",
+    n_init: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    acq: str = "ei",
+    m: int = 5,
+    seed: int = 0,
+    gp_config: GPConfig = GPConfig(),
+    tr_config: TRConfig = TRConfig(),
+    fit_every: int = 1,
+    n_candidates: Optional[int] = None,
+) -> Result:
+    """One-shot optimization of a jnp-expressible objective, fully on device.
+
+    ``method`` ∈ {"bo", "turbo1", "turbom"} (SURVEY.md C15/C17/C18).
+    The objective must accept (q, d) arrays in the original box.
+    """
+    lb_t, ub_t = tuple(float(v) for v in lb), tuple(float(v) for v in ub)
+    dim = len(lb_t)
+    key = jax.random.key(seed)
+    n_init = n_init or min(2 * dim, max_evals // 3) or 1
+    batch_size = batch_size or (1 if method == "bo" else 10)
+
+    if method == "bo":
+        cfg = BO.BOConfig(
+            n_init=n_init, max_evals=max_evals, batch_size=batch_size, acq=acq,
+            fit_every=fit_every,
+            n_candidates=n_candidates or min(100 * dim, 5000),
+        )
+        res = BO.run_bo(key, fn, lb_t, ub_t, cfg, gp_config)
+        n = int(res.n)
+        return Result(
+            best_x=np.asarray(res.best_x), best_y=float(res.best_y),
+            x_hist=np.asarray(res.x_buf[:n]), y_hist=np.asarray(res.y_buf[:n]),
+            incumbent_trace=np.asarray(res.incumbent_trace),
+        )
+
+    cfg = TR.TurboConfig(
+        n_init=n_init, max_evals=max_evals, batch_size=batch_size,
+        n_candidates=n_candidates, fit_every=fit_every, tr=tr_config,
+    )
+    if method == "turbo1":
+        carry, trace = TR.run_turbo1(key, fn, lb_t, ub_t, cfg, gp_config)
+        n = int(carry.n)
+        lb_a, ub_a = np.asarray(lb_t), np.asarray(ub_t)
+        return Result(
+            best_x=np.asarray(T.from_unit_cube(carry.best_x, lb_a, ub_a)),
+            best_y=float(carry.best_y),
+            x_hist=np.asarray(T.from_unit_cube(carry.x_buf[:n], lb_a, ub_a)),
+            y_hist=np.asarray(carry.y_buf[:n]),
+            incumbent_trace=np.asarray(trace),
+        )
+    if method == "turbom":
+        from turbojax.turbo_m import run_turbom
+
+        carries, trace = run_turbom(key, fn, lb_t, ub_t, cfg, gp_config, m=m)
+        best_tr = int(jnp.argmin(carries.best_y))
+        lb_a, ub_a = np.asarray(lb_t), np.asarray(ub_t)
+        xs, ys = [], []
+        for i in range(m):
+            ni = int(carries.n[i])
+            xs.append(np.asarray(carries.x_buf[i, :ni]))
+            ys.append(np.asarray(carries.y_buf[i, :ni]))
+        return Result(
+            best_x=np.asarray(
+                T.from_unit_cube(carries.best_x[best_tr], lb_a, ub_a)
+            ),
+            best_y=float(carries.best_y[best_tr]),
+            x_hist=np.concatenate(xs) * (ub_a - lb_a) + lb_a,
+            y_hist=np.concatenate(ys),
+            incumbent_trace=np.asarray(trace),
+        )
+    raise ValueError(f"unknown method {method!r}")
+
+
+class Optimizer:
+    """Host-side ask/tell optimizer for black-box objectives
+    (SURVEY.md C15 API (a)): the objective is evaluated by the caller; all
+    surrogate math runs as the same jitted device programs the compiled
+    loops use, so there is exactly one trace per (N_max, d, q).
+
+    Example:
+        opt = Optimizer(lb, ub, method="turbo1", batch_size=10)
+        for _ in range(50):
+            xs = opt.ask()
+            opt.tell(xs, my_expensive_function(xs))
+        print(opt.best)
+    """
+
+    def __init__(
+        self,
+        lb: Sequence[float],
+        ub: Sequence[float],
+        method: str = "turbo1",
+        n_init: int = 20,
+        max_evals: int = 500,
+        batch_size: int = 10,
+        acq: str = "ts",
+        seed: int = 0,
+        gp_config: GPConfig = GPConfig(),
+        tr_config: TRConfig = TRConfig(),
+        fit_every: int = 1,
+        n_candidates: Optional[int] = None,
+    ):
+        if method not in ("bo", "turbo1"):
+            raise ValueError("ask/tell supports methods 'bo' and 'turbo1'")
+        self.lb = np.asarray(lb, np.float32)
+        self.ub = np.asarray(ub, np.float32)
+        self.dim = len(self.lb)
+        self.method = method
+        self.gp_config = gp_config
+        self._key = jax.random.key(seed)
+        self._history_x: list = []
+        self._history_y: list = []
+        self._trace: list = []
+        self._pending: Optional[np.ndarray] = None
+
+        if method == "turbo1":
+            self.cfg = TR.TurboConfig(
+                n_init=n_init, max_evals=max_evals, batch_size=batch_size,
+                n_candidates=n_candidates, fit_every=fit_every, tr=tr_config,
+            )
+            n_loc = n_init + self.cfg.n_iters * batch_size
+            self._fail_tol = tr_config.resolved_fail_tol(self.dim, batch_size)
+            self._carry = TR.make_turbo_carry(self._next_key(), self.dim, n_loc, self.cfg, gp_config)
+            self._propose = jax.jit(
+                lambda c, k: TR.turbo_propose(c, k, self.cfg, self.gp_config)
+            )
+            self._absorb = jax.jit(
+                lambda c, x, y, srch, k: TR.turbo_absorb(
+                    c, x, y, jnp.ones(x.shape[0], jnp.bool_), srch,
+                    self.cfg, self.gp_config, self._fail_tol, k,
+                )
+            )
+        else:
+            self.cfg = BO.BOConfig(
+                n_init=n_init, max_evals=max_evals, batch_size=batch_size, acq=acq,
+                fit_every=fit_every,
+                n_candidates=n_candidates or min(100 * self.dim, 5000),
+            )
+            self._carry = None  # built lazily once n_init points are told
+            self._init_x = np.asarray(
+                BO.S.latin_hypercube(self._next_key(), n_init, self.dim)
+            )
+            self._n_told = 0
+            self._suggest = jax.jit(lambda c, k: BO._suggest(c, self.gp_config, self.cfg, k))
+            self._refit = jax.jit(lambda c, k: BO._refit_carry(c, self.gp_config, k))
+            self._append = jax.jit(lambda c, x, y: BO._append_batch(c, x, y, self.gp_config))
+
+    def _next_key(self) -> Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- ask/tell protocol --------------------------------------------------
+
+    def ask(self) -> np.ndarray:
+        """Propose the next batch of points (original box)."""
+        q = self.cfg.batch_size
+        if self.method == "turbo1":
+            carry, xs, in_search = self._propose(self._carry, self._next_key())
+            self._carry = carry
+            self._pending = (np.asarray(xs), bool(in_search))
+            return np.asarray(T.from_unit_cube(xs, self.lb, self.ub))
+        # plain BO
+        if self._carry is None:
+            start = self._n_told
+            xs = self._init_x[start : start + q]
+            if xs.shape[0] < q:  # pad from a fresh LHS if init exhausted mid-batch
+                extra = np.asarray(
+                    BO.S.latin_hypercube(self._next_key(), q - xs.shape[0], self.dim)
+                )
+                xs = np.concatenate([xs, extra], axis=0)
+            self._pending = (xs, False)
+            return np.asarray(T.from_unit_cube(jnp.asarray(xs), self.lb, self.ub))
+        if (len(self._trace)) % max(self.cfg.fit_every, 1) == 0 and self.cfg.fit_every > 0:
+            self._carry = self._refit(self._carry, self._next_key())
+        xs = self._suggest(self._carry, self._next_key())
+        self._pending = (np.asarray(xs), True)
+        return np.asarray(T.from_unit_cube(xs, self.lb, self.ub))
+
+    def tell(self, x: np.ndarray, y: np.ndarray) -> None:
+        """Report evaluations for the last ``ask`` (or arbitrary points)."""
+        x = np.atleast_2d(np.asarray(x, np.float32))
+        y = np.atleast_1d(np.asarray(y, np.float32))
+        # objective-failure handling (SURVEY.md §5.3): impute NaN/inf with a
+        # large penalty so the surrogate stays finite
+        finite = np.isfinite(y)
+        if not finite.all():
+            worst = float(np.max(y[finite])) if finite.any() else 1.0
+            y = np.where(finite, y, worst + 3.0 * (abs(worst) + 1.0))
+        x_unit = np.asarray(T.to_unit_cube(x, self.lb, self.ub), np.float32)
+        self._history_x.append(x)
+        self._history_y.append(y)
+
+        if self.method == "turbo1":
+            in_search = self._pending[1] if self._pending is not None else True
+            self._carry = self._absorb(
+                self._carry, jnp.asarray(x_unit), jnp.asarray(y),
+                jnp.asarray(in_search), self._next_key(),
+            )
+        else:
+            self._n_told += x.shape[0]
+            if self._carry is None and self._n_told >= self.cfg.n_init:
+                self._carry = self._build_bo_carry()
+            elif self._carry is not None:
+                self._carry = self._append(self._carry, jnp.asarray(x_unit), jnp.asarray(y))
+        self._trace.append(self.best[1])
+        self._pending = None
+
+    def _build_bo_carry(self) -> BO.BOCarry:
+        xs = np.concatenate([np.asarray(T.to_unit_cube(x, self.lb, self.ub)) for x in self._history_x])
+        ys = np.concatenate(self._history_y)
+        n_max = self.cfg.n_init + self.cfg.n_iters * self.cfg.batch_size
+        n_max = max(n_max, len(ys))
+        x_buf = jnp.zeros((n_max, self.dim), jnp.float32).at[: len(ys)].set(xs)
+        y_buf = jnp.zeros((n_max,), jnp.float32).at[: len(ys)].set(ys)
+        mask = L.row_mask(n_max, len(ys))
+        state = G.fit_gp(self._next_key(), x_buf, y_buf, mask, self.gp_config)
+        return BO.BOCarry(
+            x_buf=x_buf, y_buf=y_buf, n=jnp.asarray(len(ys)), chol=state.chol,
+            raw=state.raw, y_mean=state.y_mean, y_std=state.y_std, key=self._next_key(),
+        )
+
+    # -- results -------------------------------------------------------------
+
+    @property
+    def best(self) -> Tuple[np.ndarray, float]:
+        if not self._history_y:
+            return np.full(self.dim, np.nan), float("inf")
+        ys = np.concatenate(self._history_y)
+        xs = np.concatenate(self._history_x)
+        i = int(np.argmin(ys))
+        return xs[i], float(ys[i])
+
+    def optimize(self, f: Callable[[np.ndarray], np.ndarray], max_evals: Optional[int] = None) -> Result:
+        """Reference-style convenience driver [R]: loop ask → f → tell."""
+        budget = max_evals or self.cfg.max_evals
+        n = 0
+        while n < budget:
+            xs = self.ask()
+            ys = np.asarray(f(xs)).reshape(-1)
+            self.tell(xs, ys)
+            n += xs.shape[0]
+        bx, by = self.best
+        return Result(
+            best_x=bx, best_y=by,
+            x_hist=np.concatenate(self._history_x),
+            y_hist=np.concatenate(self._history_y),
+            incumbent_trace=np.asarray(self._trace),
+        )

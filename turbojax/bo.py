@@ -1,0 +1,216 @@
+"""Plain Bayesian-optimization loop (SURVEY.md C15, C19; call stack §3.5).
+
+Reference capability [B:7]: init design → fit GP → maximize acquisition →
+evaluate f → append → repeat, with incremental Cholesky appends per new
+observation.
+
+TPU-native design [B:5]: for analytic (jnp-expressible) objectives the whole
+outer loop is **one jit-compiled ``lax.scan``** over statically-shaped masked
+buffers — zero host↔device traffic per iteration. The Cholesky factor is
+carried in the scan state and extended by O(n²) ``linalg.chol_append`` rows;
+full refactorization happens only on hyperparameter refits (cadence
+``fit_every``; SURVEY.md §7.3.6). Black-box objectives use the host-side
+ask/tell API in ``turbojax.api`` built from the same jitted pieces.
+
+y-standardization constants are frozen at fit time and carried in the scan
+state so the cached factor/α stay consistent between refits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from turbojax import acq as A
+from turbojax import gp as G
+from turbojax import kernels as K
+from turbojax import linalg as L
+from turbojax import sampling as S
+from turbojax import transforms as T
+from turbojax.config import GPConfig
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class BOConfig:
+    """Loop knobs mirroring the reference constructor [R]: ``n_init``,
+    ``max_evals``, ``batch_size``; plus acquisition / candidate-set /
+    refit-cadence settings (SURVEY.md C15–C16)."""
+
+    n_init: int = 10
+    max_evals: int = 60
+    batch_size: int = 1
+    acq: str = "ei"  # "ei" | "lcb" | "ts"
+    n_candidates: int = 2000
+    fit_every: int = 1  # 0 = never refit (fixed hypers, pure incremental path)
+    kappa: float = 2.0
+    xi: float = 0.0
+    ts_chunk: Optional[int] = None
+
+    @property
+    def n_iters(self) -> int:
+        return max(0, (self.max_evals - self.n_init + self.batch_size - 1) // self.batch_size)
+
+
+class BOCarry(NamedTuple):
+    """Scan state: masked history buffers + cached factorization + RNG."""
+
+    x_buf: Array  # (N_max, d), unit cube, zero-padded
+    y_buf: Array  # (N_max,), original units, zero-padded
+    n: Array  # active count
+    chol: Array  # (N_max, N_max) identity-padded factor of K+σ²I (std space)
+    raw: G.GPParams  # current hypers (warm start for the next refit)
+    y_mean: Array  # frozen standardization constants (see module docstring)
+    y_std: Array
+    key: Array
+
+
+class BOResult(NamedTuple):
+    x_buf: Array  # (N_max, d) in the original box
+    y_buf: Array  # (N_max,)
+    n: Array
+    best_x: Array
+    best_y: Array
+    incumbent_trace: Array  # (n_iters,) best y after each iteration
+
+
+def _state_from_carry(carry: BOCarry, config: GPConfig) -> G.GPState:
+    """Rebuild the posterior cache from carried buffers without refactorizing:
+    α is an O(n²) cho_solve against the carried factor."""
+    mask = L.row_mask(carry.x_buf.shape[0], carry.n)
+    params = G.constrain_params(carry.raw, config)
+    y_std_buf = jnp.where(mask, (carry.y_buf - carry.y_mean) / carry.y_std, 0.0)
+    resid = jnp.where(mask, y_std_buf - params["mean"], 0.0)
+    alpha = L.cho_solve(carry.chol, resid)
+    return G.GPState(
+        x_buf=carry.x_buf, mask=mask, params=params, raw=carry.raw,
+        chol=carry.chol, alpha=alpha, y_mean=carry.y_mean, y_std=carry.y_std,
+    )
+
+
+def _refit_carry(carry: BOCarry, config: GPConfig, fit_key: Array) -> BOCarry:
+    mask = L.row_mask(carry.x_buf.shape[0], carry.n)
+    state = G.fit_gp(fit_key, carry.x_buf, carry.y_buf, mask, config, warm_start=carry.raw)
+    return carry._replace(chol=state.chol, raw=state.raw, y_mean=state.y_mean, y_std=state.y_std)
+
+
+def _append_batch(
+    carry: BOCarry, x_new: Array, y_new: Array, config: GPConfig
+) -> BOCarry:
+    """Write a q-batch into the buffers and extend the carried factor by q
+    O(n²) ``chol_append`` rows (SURVEY.md C5, [B:5])."""
+    q = x_new.shape[0]
+    n_max = carry.x_buf.shape[0]
+    params = G.constrain_params(carry.raw, config)
+    kfn = K.get_kernel(config.kernel)
+
+    x_buf = lax.dynamic_update_slice(carry.x_buf, x_new, (carry.n, jnp.zeros_like(carry.n)))
+    y_buf = lax.dynamic_update_slice(carry.y_buf, y_new, (carry.n,))
+
+    # covariance of each new point against the *post-write* buffer, so the
+    # j-th append sees the previously appended points in its active prefix
+    k_block = kfn(params, x_new, x_buf)  # (q, N_max)
+    k_diag = K.kernel_diag(params, x_new) + params["noise"]
+    chol = L.chol_append_batch(carry.chol, carry.n, k_block, k_diag, q)
+    return carry._replace(x_buf=x_buf, y_buf=y_buf, n=carry.n + q, chol=chol)
+
+
+def _suggest(
+    carry: BOCarry, config: GPConfig, bo: BOConfig, key: Array
+) -> Array:
+    """One acquisition maximization over a fresh global candidate set
+    (call stack SURVEY.md §3.3); returns (q, d) unit-cube points."""
+    dim = carry.x_buf.shape[-1]
+    kc, kt = jax.random.split(key)
+    cands = S.sobol_sample(kc, dim, bo.n_candidates, dtype=carry.x_buf.dtype)
+    state = _state_from_carry(carry, config)
+    if bo.acq == "ts":
+        xs, _ = A.thompson_select(kt, state, cands, bo.batch_size, config, bo.ts_chunk)
+        return xs
+    mu, var = G.gp_posterior(state, cands, config)
+    if bo.acq == "ei":
+        mask = L.row_mask(carry.y_buf.shape[0], carry.n)
+        best = jnp.min(jnp.where(mask, carry.y_buf, jnp.inf))
+        scores = -A.expected_improvement(mu, var, best, bo.xi)  # minimize −EI
+    elif bo.acq == "lcb":
+        scores = A.lower_confidence_bound(mu, var, bo.kappa)
+    else:
+        raise ValueError(f"unknown acquisition {bo.acq!r}")
+    _, top_idx = lax.top_k(-scores, bo.batch_size)
+    return cands[top_idx]
+
+
+@partial(jax.jit, static_argnames=("fn", "bo", "config", "n_max"))
+def run_bo(
+    key: Array,
+    fn: Callable[[Array], Array],
+    lb: Tuple[float, ...],
+    ub: Tuple[float, ...],
+    bo: BOConfig,
+    config: GPConfig = GPConfig(),
+    n_max: Optional[int] = None,
+    fixed_params: Optional[G.GPParams] = None,
+) -> BOResult:
+    """Run the whole BO loop on-device as one compiled program [B:5].
+
+    Args:
+      fn: jnp-expressible objective on the original box, (q, d) -> (q,).
+      lb/ub: box bounds (static tuples).
+      fixed_params: when given with ``bo.fit_every == 0``, hypers are pinned
+        (config 1's fixed-hyperparameter RBF GP [B:7]).
+    """
+    dim = len(lb)
+    lb_a = jnp.asarray(lb, jnp.float32)
+    ub_a = jnp.asarray(ub, jnp.float32)
+    n_max = n_max or bo.n_init + bo.n_iters * bo.batch_size
+    k_init, k_fit0, k_loop = jax.random.split(key, 3)
+
+    # -- init design (LHS [R]) + first fit/factorization
+    x0 = S.latin_hypercube(k_init, bo.n_init, dim)
+    y0 = fn(T.from_unit_cube(x0, lb_a, ub_a))
+    x_buf = jnp.zeros((n_max, dim), x0.dtype).at[: bo.n_init].set(x0)
+    y_buf = jnp.zeros((n_max,), y0.dtype).at[: bo.n_init].set(y0)
+    n = jnp.asarray(bo.n_init)
+    mask = L.row_mask(n_max, n)
+
+    if bo.fit_every == 0:
+        raw0 = fixed_params if fixed_params is not None else G.default_params(dim, config, x0.dtype)
+        state0 = G.make_gp_state(x_buf, y_buf, mask, raw0, config)
+    else:
+        state0 = G.fit_gp(k_fit0, x_buf, y_buf, mask, config, warm_start=fixed_params)
+    carry = BOCarry(
+        x_buf=x_buf, y_buf=y_buf, n=n, chol=state0.chol, raw=state0.raw,
+        y_mean=state0.y_mean, y_std=state0.y_std, key=k_loop,
+    )
+
+    def step(carry: BOCarry, it: Array):
+        k_it, k_fit, k_next = jax.random.split(carry.key, 3)
+        carry = carry._replace(key=k_next)
+        if bo.fit_every > 0:
+            do_fit = (it % bo.fit_every) == 0
+            carry = lax.cond(do_fit, lambda c: _refit_carry(c, config, k_fit), lambda c: c, carry)
+        x_unit = _suggest(carry, config, bo, k_it)
+        y_new = fn(T.from_unit_cube(x_unit, lb_a, ub_a))
+        carry = _append_batch(carry, x_unit, y_new, config)
+        mask_now = L.row_mask(n_max, carry.n)
+        best_now = jnp.min(jnp.where(mask_now, carry.y_buf, jnp.inf))
+        return carry, best_now
+
+    carry, trace = lax.scan(step, carry, jnp.arange(bo.n_iters))
+
+    mask_fin = L.row_mask(n_max, carry.n)
+    best_idx = jnp.argmin(jnp.where(mask_fin, carry.y_buf, jnp.inf))
+    return BOResult(
+        x_buf=T.from_unit_cube(carry.x_buf, lb_a, ub_a),
+        y_buf=carry.y_buf,
+        n=carry.n,
+        best_x=T.from_unit_cube(carry.x_buf[best_idx], lb_a, ub_a),
+        best_y=carry.y_buf[best_idx],
+        incumbent_trace=trace,
+    )

@@ -1,0 +1,74 @@
+"""Frozen dataclass configs for the GP surrogate and trust-region machinery.
+
+The knob names mirror the reference's constructor kwargs where those exist
+(``n_init``, ``max_evals``, ``batch_size``, ``use_ard``,
+``max_cholesky_size`` — SURVEY.md §5.6 [R]); everything else is build-specific
+(dtype/jitter policy, fit cadence, mesh axes).
+
+All configs are hashable and immutable so they can be closed over by
+``jax.jit`` as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GPConfig:
+    """Configuration of the GP surrogate (SURVEY.md C1–C9).
+
+    Attributes:
+      kernel: one of "rbf", "matern12", "matern32", "matern52".
+      use_ard: one lengthscale per input dimension if True, shared otherwise.
+      noise_floor: lower bound on the observation-noise variance. The floor
+        doubles as the PSD safety net for the fixed-jitter Cholesky used in
+        the vmapped fit path (SURVEY.md §7.3.1/§7.3.2).
+      jitter: relative diagonal jitter added before every Cholesky
+        (multiplied by the mean of the kernel diagonal).
+      lengthscale_bounds / outputscale_bounds / noise_bounds: box constraints
+        applied through a softplus reparameterization (SURVEY.md C7 [R]).
+      fit_optimizer: "lbfgs" (reference-parity, [B:8]) or "adam" (fallback,
+        SURVEY.md §7.3.3).
+      fit_maxiter: max optimizer iterations per restart.
+      fit_restarts: number of random restarts, vmapped on-chip [B:5].
+      learn_mean: fit a constant mean; otherwise zero mean on standardized y.
+    """
+
+    kernel: str = "matern52"
+    use_ard: bool = True
+    noise_floor: float = 1e-4
+    jitter: float = 1e-6
+    lengthscale_bounds: Tuple[float, float] = (0.005, 20.0)
+    outputscale_bounds: Tuple[float, float] = (0.05, 20.0)
+    noise_bounds: Tuple[float, float] = (1e-4, 0.2)
+    fit_optimizer: str = "lbfgs"
+    fit_maxiter: int = 50
+    fit_lr: float = 0.1
+    fit_restarts: int = 4
+    learn_mean: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TRConfig:
+    """TuRBO trust-region hyperparameters (SURVEY.md C17 [R], named at [B:10]).
+
+    Defaults are the canonical TuRBO-1 constants: initial side length 0.8,
+    expand to at most 1.6 after ``succ_tol`` successes, halve after
+    ``fail_tol`` failures, restart when the length drops below ``0.5**7``.
+    ``fail_tol`` defaults to ``ceil(max(4, d) / batch_size)`` when None.
+    """
+
+    length_init: float = 0.8
+    length_max: float = 1.6
+    length_min: float = 0.5**7
+    succ_tol: int = 3
+    fail_tol: Optional[int] = None
+    success_eps: float = 1e-3
+
+    def resolved_fail_tol(self, dim: int, batch_size: int) -> int:
+        if self.fail_tol is not None:
+            return self.fail_tol
+        return max(1, math.ceil(max(4.0, float(dim)) / batch_size))

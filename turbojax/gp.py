@@ -1,0 +1,299 @@
+"""GP surrogate: masked MLL, multi-restart L-BFGS fit, batched posterior.
+
+Reference capability (SURVEY.md C6–C9, [B:5, B:8]): exact GP regression —
+MLL hyperparameter optimization via gradients + L-BFGS with multi-restart,
+posterior mean/variance over large candidate sets — provided by
+GPyTorch ``ExactGP``/``ExactMarginalLogLikelihood`` in the reference stack.
+
+TPU-native design:
+  * all state lives in statically-shaped masked buffers (SURVEY.md §7.3.1)
+    so fit + posterior compile once per (N_max, d) and run inside the outer
+    ``lax.scan`` BO loop;
+  * restarts are a ``vmap`` axis [B:5] (and a ``shard_map`` axis across ICI,
+    see ``turbojax.parallel``);
+  * the fit optimizer is ``optax.lbfgs`` inside ``lax.while_loop``
+    (reference: scipy L-BFGS-B [R]), with an Adam fallback
+    (SURVEY.md §7.3.3);
+  * the posterior is one fused batched program: trsm + two matmuls + an
+    elementwise epilogue, chunked over candidates to bound working-set size.
+
+Invariant: X/y buffers must be finite in inactive rows (zero-padded) — the
+masking uses ``jnp.where``, whose gradients would be polluted by NaN in the
+unselected branch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from turbojax import kernels as K
+from turbojax import linalg as L
+from turbojax import transforms as T
+from turbojax.config import GPConfig
+
+Array = jax.Array
+
+_LOG_2PI = 1.8378770664093453
+
+
+class GPParams(NamedTuple):
+    """Unconstrained (raw) hyperparameters; constrain via ``constrain_params``."""
+
+    raw_lengthscale: Array  # (d,) with ARD, (1,) without
+    raw_outputscale: Array  # ()
+    raw_noise: Array  # ()
+    raw_mean: Array  # ()
+
+
+class GPState(NamedTuple):
+    """Fitted-GP cache: everything the posterior needs, statically shaped.
+
+    ``chol``/``alpha`` are the identity-padded Cholesky of
+    K(X,X)+σ²I and (K+σ²I)⁻¹(y_std − m) over the active block. y-space
+    standardization constants let the posterior report original units.
+    """
+
+    x_buf: Array  # (N_max, d), zero-padded
+    mask: Array  # (N_max,) bool
+    params: Dict[str, Array]  # constrained: lengthscale, outputscale, noise, mean
+    raw: GPParams  # for warm-starting the next fit
+    chol: Array  # (N_max, N_max)
+    alpha: Array  # (N_max,)
+    y_mean: Array  # ()
+    y_std: Array  # ()
+
+
+def constrain_params(raw: GPParams, config: GPConfig) -> Dict[str, Array]:
+    lo, hi = config.lengthscale_bounds
+    so, sh = config.outputscale_bounds
+    no, nh = config.noise_bounds
+    return {
+        "lengthscale": T.constrain(raw.raw_lengthscale, lo, hi),
+        "outputscale": T.constrain(raw.raw_outputscale, so, sh),
+        "noise": jnp.maximum(T.constrain(raw.raw_noise, no, nh), config.noise_floor),
+        "mean": raw.raw_mean if config.learn_mean else jnp.zeros_like(raw.raw_mean),
+    }
+
+
+def default_params(dim: int, config: GPConfig, dtype=jnp.float32) -> GPParams:
+    """Reference-parity initial hypers [R]: ℓ=0.5 (unit cube), s²=1, σ²=noise floor·~10."""
+    d_eff = dim if config.use_ard else 1
+    lo, hi = config.lengthscale_bounds
+    so, sh = config.outputscale_bounds
+    no, nh = config.noise_bounds
+    return GPParams(
+        raw_lengthscale=jnp.full((d_eff,), T.unconstrain(jnp.asarray(0.5, dtype), lo, hi)),
+        raw_outputscale=T.unconstrain(jnp.asarray(1.0, dtype), so, sh),
+        raw_noise=T.unconstrain(jnp.asarray(max(1e-3, config.noise_floor), dtype), no, nh),
+        raw_mean=jnp.asarray(0.0, dtype),
+    )
+
+
+def sample_restart_params(key: Array, dim: int, config: GPConfig, n: int, dtype=jnp.float32) -> GPParams:
+    """Log-uniform restart inits over the interior of the constraint boxes."""
+    d_eff = dim if config.use_ard else 1
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    def logu(k, shape, lo, hi):
+        # stay inside [10%, 90%] of the log-box so sigmoid unconstrain is stable
+        llo, lhi = jnp.log(lo * 1.5), jnp.log(hi / 1.5)
+        return jnp.exp(jax.random.uniform(k, shape, dtype, llo, lhi))
+
+    lo, hi = config.lengthscale_bounds
+    so, sh = config.outputscale_bounds
+    no, nh = config.noise_bounds
+    return GPParams(
+        raw_lengthscale=T.unconstrain(logu(k1, (n, d_eff), max(lo, 0.05), min(hi, 2.0)), lo, hi),
+        raw_outputscale=T.unconstrain(logu(k2, (n,), max(so, 0.2), min(sh, 5.0)), so, sh),
+        raw_noise=T.unconstrain(logu(k3, (n,), max(no, 1e-4), min(nh, 1e-1)), no, nh),
+        raw_mean=jnp.zeros((n,), dtype),
+    )
+
+
+# --------------------------------------------------------------------------
+# Marginal log-likelihood (SURVEY.md C6)
+
+
+def _masked_kernel_chol(params: Dict[str, Array], x_buf: Array, mask: Array, config: GPConfig) -> Array:
+    kfn = K.get_kernel(config.kernel)
+    k_mat = kfn(params, x_buf, x_buf)
+    n_max = x_buf.shape[0]
+    k_mat = k_mat + params["noise"] * jnp.eye(n_max, dtype=k_mat.dtype)
+    k_mat = L.mask_kernel_matrix(k_mat, mask)
+    return L.cholesky_jittered(k_mat, config.jitter)
+
+
+def mll(raw: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GPConfig) -> Array:
+    """Exact marginal log-likelihood over the active block:
+    −½ rᵀα − ½ log|K+σ²I| − (n/2) log 2π, with r = y_std − m [B:5]."""
+    params = constrain_params(raw, config)
+    chol = _masked_kernel_chol(params, x_buf, mask, config)
+    resid = jnp.where(mask, y_std - params["mean"], jnp.zeros_like(y_std))
+    alpha = L.cho_solve(chol, resid)
+    quad = jnp.dot(resid, alpha)
+    logdet = L.masked_logdet_from_chol(chol, mask)
+    n_act = jnp.sum(mask).astype(y_std.dtype)
+    return -0.5 * (quad + logdet + n_act * _LOG_2PI)
+
+
+# --------------------------------------------------------------------------
+# Fit (SURVEY.md C7, C8)
+
+
+def _fit_one(raw0: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GPConfig) -> Tuple[GPParams, Array]:
+    """One optimizer run from one init; returns (params, final −mll/n)."""
+    n_act = jnp.maximum(jnp.sum(mask).astype(y_std.dtype), 1.0)
+
+    def loss(raw: GPParams) -> Array:
+        return -mll(raw, x_buf, y_std, mask, config) / n_act
+
+    if config.fit_optimizer == "adam":
+        opt = optax.adam(config.fit_lr)
+
+        def body(_, carry):
+            raw, opt_state = carry
+            grads = jax.grad(loss)(raw)
+            updates, opt_state = opt.update(grads, opt_state, raw)
+            return optax.apply_updates(raw, updates), opt_state
+
+        raw_fin, _ = lax.fori_loop(0, config.fit_maxiter, body, (raw0, opt.init(raw0)))
+        return raw_fin, loss(raw_fin)
+
+    # L-BFGS with zoom line search — the reference-parity path [B:8].
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(loss)
+
+    def cond(carry):
+        _, _, it, gnorm = carry
+        return jnp.logical_and(it < config.fit_maxiter, gnorm > 1e-6)
+
+    def body(carry):
+        raw, opt_state, it, _ = carry
+        value, grads = value_and_grad(raw, state=opt_state)
+        updates, opt_state = opt.update(
+            grads, opt_state, raw, value=value, grad=grads, value_fn=loss
+        )
+        raw = optax.apply_updates(raw, updates)
+        gnorm = optax.tree_utils.tree_norm(grads)
+        return raw, opt_state, it + 1, gnorm
+
+    init = (raw0, opt.init(raw0), jnp.asarray(0), jnp.asarray(jnp.inf, y_std.dtype))
+    raw_fin, _, _, _ = lax.while_loop(cond, body, init)
+    return raw_fin, loss(raw_fin)
+
+
+def fit_gp(
+    key: Array,
+    x_buf: Array,
+    y_buf: Array,
+    mask: Array,
+    config: GPConfig,
+    warm_start: Optional[GPParams] = None,
+) -> GPState:
+    """Standardize y, run ``fit_restarts`` vmapped optimizer restarts, keep
+    the best-MLL hypers [B:5 "multi-restart ... vmap across a chip"], and
+    cache the posterior factorization.
+
+    Restart 0 is the warm start (previous iteration's hypers [R]) when
+    given, else the reference-parity defaults; the rest are random inits.
+    """
+    dim = x_buf.shape[-1]
+    dtype = y_buf.dtype
+    y_std_buf, y_mean, y_sd = T.standardize(y_buf, mask)
+
+    base = warm_start if warm_start is not None else default_params(dim, config, dtype)
+    n_rand = max(config.fit_restarts - 1, 0)
+    if n_rand:
+        rand = sample_restart_params(key, dim, config, n_rand, dtype)
+        inits = jax.tree.map(lambda b, r: jnp.concatenate([b[None], r], axis=0), base, rand)
+    else:
+        inits = jax.tree.map(lambda b: b[None], base)
+
+    fitted, losses = jax.vmap(lambda r: _fit_one(r, x_buf, y_std_buf, mask, config))(inits)
+    losses = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
+    best = jnp.argmin(losses)
+    raw_best = jax.tree.map(lambda a: a[best], fitted)
+    return make_gp_state(x_buf, y_buf, mask, raw_best, config)
+
+
+def make_gp_state(
+    x_buf: Array, y_buf: Array, mask: Array, raw: GPParams, config: GPConfig
+) -> GPState:
+    """Factorize once for the fitted hypers and cache (chol, alpha)."""
+    params = constrain_params(raw, config)
+    y_std_buf, y_mean, y_sd = T.standardize(y_buf, mask)
+    chol = _masked_kernel_chol(params, x_buf, mask, config)
+    resid = jnp.where(mask, y_std_buf - params["mean"], jnp.zeros_like(y_std_buf))
+    alpha = L.cho_solve(chol, resid)
+    return GPState(
+        x_buf=x_buf, mask=mask, params=params, raw=raw, chol=chol, alpha=alpha,
+        y_mean=y_mean, y_std=y_sd,
+    )
+
+
+# --------------------------------------------------------------------------
+# Posterior (SURVEY.md C9) — "the single most important kernel" [B:5]
+
+
+def _posterior_chunk(
+    state: GPState, xs: Array, config: GPConfig, include_noise: bool
+) -> Tuple[Array, Array]:
+    kfn = K.get_kernel(config.kernel)
+    k_cross = L.mask_cross_matrix(kfn(state.params, state.x_buf, xs), state.mask)
+    v = L.solve_lower(state.chol, k_cross)  # (N_max, m)
+    mu_s = state.params["mean"] + k_cross.T @ state.alpha
+    var_s = K.kernel_diag(state.params, xs) - jnp.sum(v * v, axis=0)
+    var_s = jnp.maximum(var_s, jnp.asarray(1e-12, var_s.dtype))
+    if include_noise:
+        var_s = var_s + state.params["noise"]
+    return mu_s, var_s
+
+
+def gp_posterior(
+    state: GPState,
+    xs: Array,
+    config: GPConfig,
+    include_noise: bool = False,
+    chunk_size: Optional[int] = None,
+    standardized: bool = False,
+) -> Tuple[Array, Array]:
+    """Posterior mean/variance at candidate points, batched on the MXU.
+
+    μ* = m + K*ᵀα ; σ*² = k(x*,x*) − ‖L⁻¹K*‖²_col [B:5]. Chunked over the
+    candidate axis when ``chunk_size`` divides it, bounding the live
+    (N_max × chunk) working set. Returns original-y units unless
+    ``standardized``.
+    """
+    m = xs.shape[0]
+    if chunk_size is not None and m > chunk_size and m % chunk_size == 0:
+        xs_c = xs.reshape(m // chunk_size, chunk_size, xs.shape[-1])
+        mu_s, var_s = lax.map(lambda c: _posterior_chunk(state, c, config, include_noise), xs_c)
+        mu_s, var_s = mu_s.reshape(m), var_s.reshape(m)
+    else:
+        mu_s, var_s = _posterior_chunk(state, xs, config, include_noise)
+    if standardized:
+        return mu_s, var_s
+    return T.unstandardize(mu_s, state.y_mean, state.y_std), T.unstandardize_var(var_s, state.y_std)
+
+
+def posterior_cov(
+    state: GPState, xs: Array, config: GPConfig, include_noise: bool = False, standardized: bool = False
+) -> Tuple[Array, Array]:
+    """Joint posterior (mean, covariance) over a candidate chunk — the input
+    to joint Thompson sampling (SURVEY.md C13). O(m²) memory: chunk upstream.
+    """
+    kfn = K.get_kernel(config.kernel)
+    k_cross = L.mask_cross_matrix(kfn(state.params, state.x_buf, xs), state.mask)
+    v = L.solve_lower(state.chol, k_cross)
+    mu_s = state.params["mean"] + k_cross.T @ state.alpha
+    cov_s = kfn(state.params, xs, xs) - v.T @ v
+    if include_noise:
+        cov_s = cov_s + state.params["noise"] * jnp.eye(xs.shape[0], dtype=cov_s.dtype)
+    if standardized:
+        return mu_s, cov_s
+    return T.unstandardize(mu_s, state.y_mean, state.y_std), cov_s * state.y_std**2

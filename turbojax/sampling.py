@@ -1,0 +1,114 @@
+"""Init designs and trust-region candidate generation (SURVEY.md C16).
+
+Reference capability [R — TuRBO ``latin_hypercube`` / ``_create_candidates``]:
+Latin-hypercube initial designs; Sobol candidates inside the trust region
+with per-dimension perturbation masks (perturb prob ``min(20/d, 1)``, at
+least one dimension per candidate).
+
+TPU-native design (SURVEY.md §7.3.7): there is no jax-native Sobol, so the
+direction numbers are pulled **once on the host** from scipy's Joe-Kuo table
+(``scipy.stats.qmc.Sobol``, verified bit-exact against scipy's own stream in
+``tests/test_sampling.py``) and baked into the jit as a static uint32
+constant; point generation is then a pure-jnp gray-code XOR accumulation,
+randomized per BO iteration with a digital shift (XOR with per-dimension
+random 30-bit offsets — a standard RQMC scheme that preserves uniform
+marginals and low discrepancy). Everything downstream of the table is
+traceable inside ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_SOBOL_BITS = 30
+
+
+@functools.lru_cache(maxsize=None)
+def _direction_numbers(dim: int) -> np.ndarray:
+    """Host-side Joe-Kuo direction numbers, (dim, 30) uint32."""
+    from scipy.stats import qmc
+
+    return np.asarray(qmc.Sobol(d=dim, scramble=False)._sv, dtype=np.uint32)
+
+
+def sobol_raw(dim: int, n: int, start_index: int = 0, dtype=jnp.float32) -> Array:
+    """Unscrambled Sobol points i = start..start+n−1 in [0,1)^dim (pure jnp)."""
+    sv = jnp.asarray(_direction_numbers(dim))  # static constant under jit
+    idx = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(start_index)
+    gray = idx ^ (idx >> 1)
+    acc = jnp.zeros((n, dim), jnp.uint32)
+    for b in range(_SOBOL_BITS):
+        take = ((gray >> b) & 1).astype(jnp.uint32)
+        acc = acc ^ take[:, None] * sv[None, :, b]
+    return acc.astype(dtype) / (2.0**_SOBOL_BITS)
+
+
+def sobol_sample(key: Array, dim: int, n: int, dtype=jnp.float32) -> Array:
+    """Digitally-shifted Sobol: a fresh randomization per key, jit-traceable."""
+    sv = jnp.asarray(_direction_numbers(dim))
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    gray = idx ^ (idx >> 1)
+    acc = jnp.zeros((n, dim), jnp.uint32)
+    for b in range(_SOBOL_BITS):
+        take = ((gray >> b) & 1).astype(jnp.uint32)
+        acc = acc ^ take[:, None] * sv[None, :, b]
+    shift = jax.random.bits(key, (dim,), jnp.uint32) >> (32 - _SOBOL_BITS)
+    acc = acc ^ shift[None, :]
+    return acc.astype(dtype) / (2.0**_SOBOL_BITS)
+
+
+def latin_hypercube(key: Array, n: int, dim: int, dtype=jnp.float32) -> Array:
+    """Latin-hypercube design in [0,1)^dim: one stratified sample per row per
+    dim through independent permutations (reference ``latin_hypercube`` [R])."""
+    kp, ku = jax.random.split(key)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, n))(jax.random.split(kp, dim))  # (dim, n)
+    u = jax.random.uniform(ku, (n, dim), dtype)
+    return (perms.T.astype(dtype) + u) / n
+
+
+def perturbation_mask(key: Array, n: int, dim: int) -> Array:
+    """TuRBO per-candidate perturbation mask [R]: each dim flipped with prob
+    ``min(20/d, 1)``; rows that would be all-zero get one random dim."""
+    kb, kf = jax.random.split(key)
+    prob = min(20.0 / dim, 1.0)
+    mask = jax.random.bernoulli(kb, prob, (n, dim))
+    fallback_dim = jax.random.randint(kf, (n,), 0, dim)
+    fallback = jax.nn.one_hot(fallback_dim, dim, dtype=jnp.bool_)
+    return jnp.where(jnp.any(mask, axis=-1, keepdims=True), mask, fallback)
+
+
+def tr_candidates(
+    key: Array,
+    center: Array,
+    length: Array,
+    lengthscale: Array,
+    n_cand: int,
+) -> Array:
+    """TuRBO trust-region candidates in the unit cube (SURVEY.md C17 [R]).
+
+    The box side per dim is the TR length scaled by normalized ARD
+    lengthscale weights ``w = ℓ/mean(ℓ) / prod(ℓ/mean(ℓ))^(1/d)``; Sobol
+    points fill the clipped box, and each candidate perturbs only a masked
+    subset of dims away from the center.
+    """
+    dim = center.shape[-1]
+    ks, km = jax.random.split(key)
+    w = lengthscale / jnp.mean(lengthscale)
+    w = w / jnp.exp(jnp.mean(jnp.log(w)))  # prod(w)^(1/d) normalization
+    half = w * length / 2.0
+    lb = jnp.clip(center - half, 0.0, 1.0)
+    ub = jnp.clip(center + half, 0.0, 1.0)
+    pert = lb + (ub - lb) * sobol_sample(ks, dim, n_cand, dtype=center.dtype)
+    mask = perturbation_mask(km, n_cand, dim)
+    return jnp.where(mask, pert, center[None, :])
+
+
+def n_candidates(dim: int, cap: int = 5000) -> int:
+    """Reference candidate-set size: min(100·d, 5000) [R, B:9]."""
+    return min(100 * dim, cap)

@@ -1,0 +1,295 @@
+"""TuRBO-1: single trust-region Bayesian optimization (SURVEY.md C17,
+call stack §3.1; named at [B:10]).
+
+Algorithmic contract [R — Eriksson et al. 2019]: a box trust region centered
+at the local incumbent with side ``length · w_i`` (ARD-lengthscale-derived
+weights), Thompson-sampling candidate selection inside the box, and a
+success/failure state machine — ``succ_tol`` successes double the length
+(cap ``length_max``), ``fail_tol`` failures halve it, dropping below
+``length_min`` restarts from a fresh Latin-hypercube design with the GP
+history discarded.
+
+TPU-native design: the whole loop is one ``lax.scan`` with the TR state as a
+pytree in the carry [B:5]. Restarts inside the scan keep shapes static by
+switching the proposal source (SURVEY.md §7.3.4): every step evaluates
+exactly ``batch_size`` points; a TR in its **init phase** (fewer than
+``n_init`` local points) draws them from a per-restart LHS stream carried in
+the state, a TR in its **search phase** refits the GP (hypers warm-started)
+and runs Thompson sampling over trust-region Sobol candidates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from turbojax import acq as A
+from turbojax import gp as G
+from turbojax import linalg as L
+from turbojax import sampling as S
+from turbojax import transforms as T
+from turbojax.config import GPConfig, TRConfig
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TurboConfig:
+    """TuRBO loop knobs (reference constructor kwargs [R] + build knobs)."""
+
+    n_init: int = 20
+    max_evals: int = 200
+    batch_size: int = 10
+    n_candidates: Optional[int] = None  # default min(100 d, 5000) [R]
+    fit_every: int = 1
+    ts_chunk: Optional[int] = None
+    tr: TRConfig = TRConfig()
+
+    @property
+    def n_iters(self) -> int:
+        return max(0, (self.max_evals - self.n_init + self.batch_size - 1) // self.batch_size)
+
+
+class TRState(NamedTuple):
+    """The trust-region state machine variables (pure pytree, C17)."""
+
+    length: Array  # ()
+    succ: Array  # () int
+    fail: Array  # () int
+    restarts: Array  # () int — number of restarts so far
+
+
+def tr_init(dtype=jnp.float32, length_init: float = 0.8) -> TRState:
+    return TRState(
+        length=jnp.asarray(length_init, dtype),
+        succ=jnp.asarray(0),
+        fail=jnp.asarray(0),
+        restarts=jnp.asarray(0),
+    )
+
+
+def tr_update(
+    state: TRState, improved: Array, counted: Array, tr: TRConfig, fail_tol: int
+) -> TRState:
+    """One success/failure transition (table-driven-testable pure function).
+
+    Args:
+      improved: bool — did this batch improve the local incumbent by more
+        than ``success_eps·|best|``?
+      counted: bool — whether this step participates (False during init
+        phase or for TRs that received no evaluations in TuRBO-m).
+    """
+    succ = jnp.where(improved, state.succ + 1, 0)
+    fail = jnp.where(improved, 0, state.fail + 1)
+    expand = succ >= tr.succ_tol
+    shrink = fail >= fail_tol
+    length = jnp.where(
+        expand,
+        jnp.minimum(2.0 * state.length, tr.length_max),
+        jnp.where(shrink, 0.5 * state.length, state.length),
+    )
+    succ = jnp.where(expand, 0, succ)
+    fail = jnp.where(shrink, 0, fail)
+    return TRState(
+        length=jnp.where(counted, length, state.length),
+        succ=jnp.where(counted, succ, state.succ),
+        fail=jnp.where(counted, fail, state.fail),
+        restarts=state.restarts,
+    )
+
+
+class TurboCarry(NamedTuple):
+    """Scan carry for one trust region (reused per-TR by TuRBO-m)."""
+
+    x_buf: Array  # (N_loc, d) TR-local history, unit cube, zero-padded
+    y_buf: Array  # (N_loc,)
+    n: Array  # () active count (resets on restart)
+    raw: G.GPParams  # warm-start hypers
+    tr: TRState
+    init_stream: Array  # (stream_len, d) LHS points for the current restart
+    best_x: Array  # (d,) global best across restarts (unit cube)
+    best_y: Array  # ()
+    key: Array
+
+
+def _fresh_restart(carry: TurboCarry, key: Array, dim: int, stream_len: int, tr_cfg: TRConfig) -> TurboCarry:
+    """Discard local history, draw a new LHS stream, reset the TR state [R]."""
+    return carry._replace(
+        x_buf=jnp.zeros_like(carry.x_buf),
+        y_buf=jnp.zeros_like(carry.y_buf),
+        n=jnp.zeros_like(carry.n),
+        tr=TRState(
+            length=jnp.asarray(tr_cfg.length_init, carry.x_buf.dtype),
+            succ=jnp.asarray(0),
+            fail=jnp.asarray(0),
+            restarts=carry.tr.restarts + 1,
+        ),
+        init_stream=S.latin_hypercube(key, stream_len, dim, carry.x_buf.dtype),
+    )
+
+
+def make_turbo_carry(key: Array, dim: int, n_loc: int, cfg: TurboConfig, config: GPConfig, dtype=jnp.float32) -> TurboCarry:
+    """Initial carry: empty buffers, init phase about to stream its LHS."""
+    k_s, k_loop = jax.random.split(key)
+    stream_len = _stream_len(cfg)
+    return TurboCarry(
+        x_buf=jnp.zeros((n_loc, dim), dtype),
+        y_buf=jnp.zeros((n_loc,), dtype),
+        n=jnp.asarray(0),
+        raw=G.default_params(dim, config, dtype),
+        tr=tr_init(dtype, cfg.tr.length_init),
+        init_stream=S.latin_hypercube(k_s, stream_len, dim, dtype),
+        best_x=jnp.zeros((dim,), dtype),
+        best_y=jnp.asarray(jnp.inf, dtype),
+        key=k_loop,
+    )
+
+
+def _stream_len(cfg: TurboConfig) -> int:
+    q = cfg.batch_size
+    return ((cfg.n_init + q - 1) // q) * q
+
+
+def turbo_propose(
+    carry: TurboCarry, key: Array, cfg: TurboConfig, config: GPConfig
+) -> Tuple[TurboCarry, Array, Array]:
+    """Propose ``batch_size`` unit-cube points for this TR.
+
+    Init phase: slice the LHS stream. Search phase: refit (warm-started,
+    vmapped restarts) and Thompson-sample TR candidates. Returns
+    (carry, (q, d) proposals, in_search_phase flag). Also used per-TR by
+    TuRBO-m (with this function under ``vmap``, SURVEY.md §3.4)."""
+    dim = carry.x_buf.shape[-1]
+    q = cfg.batch_size
+    n_cand = cfg.n_candidates or S.n_candidates(dim)
+    in_search = carry.n >= cfg.n_init
+    k_fit, k_cand, k_ts = jax.random.split(key, 3)
+
+    def init_proposals(c: TurboCarry):
+        start = jnp.minimum(c.n, c.init_stream.shape[0] - q)
+        xs = lax.dynamic_slice(c.init_stream, (start, jnp.zeros_like(start)), (q, dim))
+        return c, xs
+
+    def search_proposals(c: TurboCarry):
+        mask = L.row_mask(c.x_buf.shape[0], c.n)
+        state = G.fit_gp(k_fit, c.x_buf, c.y_buf, mask, config, warm_start=c.raw)
+        c = c._replace(raw=state.raw)
+        best_idx = jnp.argmin(jnp.where(mask, c.y_buf, jnp.inf))
+        center = c.x_buf[best_idx]
+        ls = jnp.broadcast_to(state.params["lengthscale"], (dim,))
+        cands = S.tr_candidates(k_cand, center, c.tr.length, ls, n_cand)
+        xs, _ = A.thompson_select(k_ts, state, cands, q, config, cfg.ts_chunk)
+        return c, xs
+
+    carry, xs = lax.cond(in_search, search_proposals, init_proposals, carry)
+    return carry, xs, in_search
+
+
+def turbo_absorb(
+    carry: TurboCarry,
+    x_new: Array,
+    y_new: Array,
+    accept: Array,
+    in_search: Array,
+    cfg: TurboConfig,
+    config: GPConfig,
+    fail_tol: int,
+    restart_key: Array,
+) -> TurboCarry:
+    """Fold a batch of evaluations into the TR: masked buffer writes,
+    incumbent update, counter transition, and in-scan restart.
+
+    ``accept`` is a (q,) bool mask — TuRBO-m uses it to credit each TR only
+    with the points the global Thompson selection assigned to it [B:11]."""
+    n_loc = carry.x_buf.shape[0]
+    q = x_new.shape[0]
+    dim = carry.x_buf.shape[-1]
+
+    mask_before = L.row_mask(n_loc, carry.n)
+    local_best_before = jnp.min(jnp.where(mask_before, carry.y_buf, jnp.inf))
+
+    def write_one(c_n, xy):
+        c, n = c_n
+        x_i, y_i, a_i = xy
+        can_write = jnp.logical_and(a_i, n < n_loc)
+        x_buf = lax.cond(
+            can_write,
+            lambda: lax.dynamic_update_slice(c.x_buf, x_i[None], (n, jnp.zeros_like(n))),
+            lambda: c.x_buf,
+        )
+        y_buf = lax.cond(
+            can_write,
+            lambda: lax.dynamic_update_slice(c.y_buf, y_i[None], (n,)),
+            lambda: c.y_buf,
+        )
+        n = jnp.where(can_write, n + 1, n)
+        return (c._replace(x_buf=x_buf, y_buf=y_buf), n), None
+
+    (carry, n_new), _ = lax.scan(write_one, (carry, carry.n), (x_new, y_new, accept))
+    carry = carry._replace(n=n_new)
+
+    # incumbents: global best ignores accept-masking (every evaluated point counts)
+    y_masked = jnp.where(accept, y_new, jnp.inf)
+    batch_best = jnp.min(y_masked)
+    batch_idx = jnp.argmin(y_masked)
+    better = batch_best < carry.best_y
+    carry = carry._replace(
+        best_y=jnp.where(better, batch_best, carry.best_y),
+        best_x=jnp.where(better, x_new[batch_idx], carry.best_x),
+    )
+
+    # success/failure transition [R]: improvement beyond eps·|local best|
+    thresh = local_best_before - cfg.tr.success_eps * jnp.abs(local_best_before)
+    improved = batch_best < thresh
+    counted = jnp.logical_and(in_search, jnp.any(accept))
+    carry = carry._replace(tr=tr_update(carry.tr, improved, counted, cfg.tr, fail_tol))
+
+    # restart when the region collapses [R]
+    needs_restart = carry.tr.length < cfg.tr.length_min
+    carry = lax.cond(
+        needs_restart,
+        lambda c: _fresh_restart(c, restart_key, dim, _stream_len(cfg), cfg.tr),
+        lambda c: c,
+        carry,
+    )
+    return carry
+
+
+@partial(jax.jit, static_argnames=("fn", "cfg", "config", "n_loc"))
+def run_turbo1(
+    key: Array,
+    fn: Callable[[Array], Array],
+    lb: Tuple[float, ...],
+    ub: Tuple[float, ...],
+    cfg: TurboConfig,
+    config: GPConfig = GPConfig(),
+    n_loc: Optional[int] = None,
+):
+    """TuRBO-1 as one compiled ``lax.scan`` program (config 4 [B:10]).
+
+    Returns (carry, incumbent_trace) with the global best across restarts.
+    """
+    dim = len(lb)
+    lb_a = jnp.asarray(lb, jnp.float32)
+    ub_a = jnp.asarray(ub, jnp.float32)
+    n_loc = n_loc or cfg.n_init + cfg.n_iters * cfg.batch_size
+    fail_tol = cfg.tr.resolved_fail_tol(dim, cfg.batch_size)
+
+    carry0 = make_turbo_carry(key, dim, n_loc, cfg, config)
+
+    def step(carry: TurboCarry, _):
+        k_prop, k_restart, k_next = jax.random.split(carry.key, 3)
+        carry = carry._replace(key=k_next)
+        carry, xs, in_search = turbo_propose(carry, k_prop, cfg, config)
+        ys = fn(T.from_unit_cube(xs, lb_a, ub_a))
+        accept = jnp.ones((cfg.batch_size,), jnp.bool_)
+        carry = turbo_absorb(carry, xs, ys, accept, in_search, cfg, config, fail_tol, k_restart)
+        return carry, carry.best_y
+
+    carry, trace = lax.scan(step, carry0, None, length=cfg.n_iters)
+    return carry, trace

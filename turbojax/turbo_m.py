@@ -1,0 +1,165 @@
+"""TuRBO-m: multi-trust-region optimization with vmapped surrogates
+(SURVEY.md C18, call stack §3.4; config 5 [B:11]).
+
+Algorithmic contract [R]: m independent trust regions, **one GP per TR** fit
+on that TR's own history. Each iteration every TR proposes a candidate set
+with Thompson-sampling values; a **global** argmin across the union
+allocates the q-batch to TRs (without replacement); each selected point's
+evaluation feeds only its TR's history and counters; TRs restart
+independently.
+
+TPU-native design [B:5, B:11]: the entire per-TR pipeline — GP fit
+(itself vmapped over restarts), TR candidate generation, Thompson draws —
+is ``vmap``-ed over a leading m-axis, so the m surrogate fits run as one
+batched device program. The only cross-TR interaction is the global top-q
+selection over the (m, q, n_cand) Thompson values (SURVEY.md §3.4). When a
+device mesh is available the m-axis shards across ICI via ``shard_map``
+with an ``all_gather`` of the (small) TS-value tensor for the global
+selection — see ``turbojax.parallel``.
+
+Restarting TRs keep shapes static via the same init-stream device as
+TuRBO-1 (SURVEY.md §7.3.4): a TR in its init phase enters its LHS points
+into the global selection with −∞ Thompson values on its first q slots, so
+the allocator routes evaluations to it until its design is complete; this
+preserves "restart consumes budget" semantics without dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from turbojax import acq as A
+from turbojax import gp as G
+from turbojax import linalg as L
+from turbojax import sampling as S
+from turbojax import transforms as T
+from turbojax.config import GPConfig
+from turbojax.trust_region import TurboCarry, TurboConfig, make_turbo_carry
+
+Array = jax.Array
+
+
+def _tr_proposals_and_values(
+    carry: TurboCarry, key: Array, cfg: TurboConfig, config: GPConfig, n_cand: int
+) -> Tuple[TurboCarry, Array, Array]:
+    """Per-TR half of the TuRBO-m iteration (mapped over the m-axis).
+
+    Returns (carry, candidates (n_cand, d), ts_values (q, n_cand)). For a TR
+    in its init phase the "candidates" are its LHS stream (padded cyclically
+    to n_cand) and the q TS rows are −∞ on the first q distinct stream slots
+    so the global allocator must pick them."""
+    dim = carry.x_buf.shape[-1]
+    q = cfg.batch_size
+    in_search = carry.n >= cfg.n_init
+    k_fit, k_cand, k_ts = jax.random.split(key, 3)
+    neg_inf = jnp.asarray(-jnp.inf, carry.x_buf.dtype)
+
+    def init_branch(c: TurboCarry):
+        stream_len = c.init_stream.shape[0]
+        start = jnp.minimum(c.n, stream_len - q)
+        reps = -(-n_cand // stream_len)
+        cands = jnp.tile(c.init_stream, (reps, 1))[:n_cand]
+        col = jnp.arange(n_cand)
+        # force-select slots start..start+q-1: row j gets −∞ at exactly one slot
+        want = (col[None, :] - start) == jnp.arange(q)[:, None]
+        values = jnp.where(want, neg_inf, jnp.asarray(jnp.inf, c.x_buf.dtype))
+        return c, cands, values
+
+    def search_branch(c: TurboCarry):
+        mask = L.row_mask(c.x_buf.shape[0], c.n)
+        state = G.fit_gp(k_fit, c.x_buf, c.y_buf, mask, config, warm_start=c.raw)
+        c = c._replace(raw=state.raw)
+        best_idx = jnp.argmin(jnp.where(mask, c.y_buf, jnp.inf))
+        center = c.x_buf[best_idx]
+        ls = jnp.broadcast_to(state.params["lengthscale"], (dim,))
+        cands = S.tr_candidates(k_cand, center, c.tr.length, ls, n_cand)
+        values = A.thompson_samples(k_ts, state, cands, q, config, cfg.ts_chunk)
+        return c, cands, values
+
+    return lax.cond(in_search, search_branch, init_branch, carry)
+
+
+def global_allocate(ts_values: Array) -> Tuple[Array, Array]:
+    """Global q-batch argmin-without-replacement across all TRs [R, B:11].
+
+    Args:
+      ts_values: (m, q, n_cand) per-TR Thompson draws.
+
+    Returns (tr_idx (q,), cand_idx (q,)): slot j takes the global minimum of
+    draw row j over all (TR, candidate) pairs not yet chosen.
+    """
+    m, q, n_cand = ts_values.shape
+    flat = jnp.swapaxes(ts_values, 0, 1).reshape(q, m * n_cand)
+    big = jnp.asarray(jnp.finfo(flat.dtype).max, flat.dtype)
+
+    def step(taken, row):
+        masked = jnp.where(taken, big, row)
+        idx = jnp.argmin(masked)
+        return taken.at[idx].set(True), idx
+
+    _, flat_idx = lax.scan(step, jnp.zeros((m * n_cand,), jnp.bool_), flat)
+    return flat_idx // n_cand, flat_idx % n_cand
+
+
+@partial(jax.jit, static_argnames=("fn", "cfg", "config", "m", "n_loc"))
+def run_turbom(
+    key: Array,
+    fn: Callable[[Array], Array],
+    lb: Tuple[float, ...],
+    ub: Tuple[float, ...],
+    cfg: TurboConfig,
+    config: GPConfig = GPConfig(),
+    m: int = 5,
+    n_loc: Optional[int] = None,
+):
+    """TuRBO-m as one compiled program: vmapped per-TR fits + global TS
+    allocation (config 5 [B:11]). Returns (carries, incumbent_trace); the
+    run-level best is ``trace[-1]`` / the min over ``carries.best_y``."""
+    dim = len(lb)
+    lb_a = jnp.asarray(lb, jnp.float32)
+    ub_a = jnp.asarray(ub, jnp.float32)
+    q = cfg.batch_size
+    n_cand = cfg.n_candidates or S.n_candidates(dim)
+    n_loc = n_loc or cfg.n_init + cfg.n_iters * q
+    fail_tol = cfg.tr.resolved_fail_tol(dim, q)
+
+    keys0 = jax.random.split(key, m)
+    carries0 = jax.vmap(lambda k: make_turbo_carry(k, dim, n_loc, cfg, config))(keys0)
+
+    from turbojax.trust_region import turbo_absorb  # local import avoids cycle at module load
+
+    def step(carries: TurboCarry, _):
+        k_step = jax.random.fold_in(carries.key[0], 0)
+        k_prop, k_restart = jax.random.split(k_step)
+        prop_keys = jax.random.split(k_prop, m)
+        restart_keys = jax.random.split(k_restart, m)
+        # advance each TR's own key stream
+        new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(carries.key)
+        carries = carries._replace(key=new_keys)
+
+        carries, cands, values = jax.vmap(
+            lambda c, k: _tr_proposals_and_values(c, k, cfg, config, n_cand)
+        )(carries, prop_keys)
+        # cands: (m, n_cand, d); values: (m, q, n_cand)
+
+        tr_idx, cand_idx = global_allocate(values)  # (q,), (q,)
+        x_sel = cands[tr_idx, cand_idx]  # (q, d)
+        y_sel = fn(T.from_unit_cube(x_sel, lb_a, ub_a))
+
+        in_search = carries.n >= cfg.n_init  # (m,)
+        accept = tr_idx[None, :] == jnp.arange(m)[:, None]  # (m, q)
+        carries = jax.vmap(
+            lambda c, acc, srch, rk: turbo_absorb(
+                c, x_sel, y_sel, acc, srch, cfg, config, fail_tol, rk
+            )
+        )(carries, accept, in_search, restart_keys)
+
+        return carries, jnp.min(carries.best_y)
+
+    carries, trace = lax.scan(step, carries0, None, length=cfg.n_iters)
+    return carries, trace
