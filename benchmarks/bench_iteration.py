@@ -1,0 +1,153 @@
+"""Per-component wall-clock benchmarks (SURVEY.md §4.2 performance tier,
+BASELINE.md measurement protocol).
+
+Measures, post-warmup, on the default backend (TPU under axon; CPU under
+``--cpu``):
+  * fit core at n ∈ {100, 500, 2000}: kernel build + chol + alpha (config 2's
+    hot path [B:8])
+  * one full MLL L-BFGS fit (fit_maxiter steps, fit_restarts vmapped)
+  * posterior over 5k candidates (config 3 [B:9])
+  * batched TS q=10 over 5k candidates, chunked
+  * incremental chol append (C5)
+vs the float64 numpy oracle for the same math on CPU.
+
+Usage: python benchmarks/bench_iteration.py [--cpu] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def timeit(f, reps=5):
+    import jax
+
+    out = f()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_jax(ns=(100, 500, 2000), d=10, n_cand=5000, q=10):
+    import jax
+    import jax.numpy as jnp
+
+    from turbojax import acq as A
+    from turbojax import gp as G
+    from turbojax import linalg as L
+    from turbojax.config import GPConfig
+
+    results = {}
+    rng = np.random.RandomState(0)
+    config = GPConfig(kernel="matern52", fit_restarts=4, fit_maxiter=30)
+    for n in ns:
+        n_max = int(2 ** np.ceil(np.log2(n)))
+        x_buf = jnp.zeros((n_max, d), jnp.float32).at[:n].set(jnp.asarray(rng.rand(n, d), jnp.float32))
+        y_buf = jnp.zeros((n_max,), jnp.float32).at[:n].set(
+            jnp.asarray(np.sin(3 * rng.rand(n)), jnp.float32)
+        )
+        mask = L.row_mask(n_max, n)
+        raw = G.default_params(d, config)
+        cands = jnp.asarray(rng.rand(n_cand, d), jnp.float32)
+        key = jax.random.key(0)
+
+        fit_core = jax.jit(lambda xb, yb: G.make_gp_state(xb, yb, mask, raw, config).alpha)
+        results[f"fit_core_n{n}"] = timeit(lambda: fit_core(x_buf, y_buf))
+
+        state = jax.jit(lambda xb, yb: G.make_gp_state(xb, yb, mask, raw, config))(x_buf, y_buf)
+        post = jax.jit(lambda s, c: G.gp_posterior(s, c, config))
+        results[f"posterior_5k_n{n}"] = timeit(lambda: post(state, cands))
+
+        ts = jax.jit(lambda k, s, c: A.thompson_select(k, s, c, q, config, 1000))
+        results[f"ts_q{q}_5k_n{n}"] = timeit(lambda: ts(key, state, cands))
+
+        if n == 2000:
+            mll_fit = jax.jit(lambda k, xb, yb: G.fit_gp(k, xb, yb, mask, config).raw)
+            results[f"mll_fit_n{n}"] = timeit(lambda: mll_fit(key, x_buf, y_buf), reps=2)
+
+            kv = jnp.zeros((n_max,), jnp.float32).at[:n].set(0.5)
+            app = jax.jit(lambda lb_, nv, kvec: L.chol_append(lb_, nv, kvec, jnp.asarray(1.001)))
+            results[f"chol_append_n{n}"] = timeit(lambda: app(state.chol, jnp.asarray(n), kv))
+    return results
+
+
+def bench_oracle(ns=(100, 500, 2000), d=10, n_cand=5000, q=10):
+    from oracle import numpy_gp as onp
+
+    results = {}
+    rng = np.random.RandomState(0)
+    for n in ns:
+        x = rng.rand(n, d)
+        y = np.sin(3 * rng.rand(n))
+        cands = rng.rand(n_cand, d)
+        gp = onp.NumpyGP("matern52", np.full(d, 0.5), 1.0, 1e-3)
+
+        def fit():
+            gp.fit(x, y)
+            return gp.alpha
+
+        t0 = time.perf_counter()
+        for _ in range(3):
+            fit()
+        results[f"fit_core_n{n}"] = (time.perf_counter() - t0) / 3
+
+        t0 = time.perf_counter()
+        reps = 3 if n < 2000 else 2
+        for _ in range(reps):
+            mu, var = gp.posterior(cands)
+        results[f"posterior_5k_n{n}"] = (time.perf_counter() - t0) / reps
+
+        def ts():
+            out = []
+            for c0 in range(0, n_cand, 1000):
+                mu_c, cov_c = gp.posterior_cov(cands[c0 : c0 + 1000])
+                cov_c[np.diag_indices(1000)] += 1e-6 * max(cov_c.diagonal().max(), 1e-12)
+                lc = np.linalg.cholesky(cov_c)
+                out.append(mu_c[None] + rng.randn(q, 1000) @ lc.T)
+            return np.argmin(np.concatenate(out, axis=1), axis=1)
+
+        t0 = time.perf_counter()
+        ts()
+        results[f"ts_q{q}_5k_n{n}"] = time.perf_counter() - t0
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="run the JAX lane on CPU")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    oracle = bench_oracle()
+    ours = bench_jax()
+    rows = []
+    for k in sorted(ours):
+        o = oracle.get(k)
+        rows.append(
+            {
+                "bench": k,
+                "turbojax_s": round(ours[k], 6),
+                "oracle_cpu_s": round(o, 6) if o else None,
+                "speedup": round(o / ours[k], 1) if o else None,
+            }
+        )
+    for r in rows:
+        print(r)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Integration: user API (SURVEY.md C21) — functional optimize() and the
+host-side ask/tell Optimizer, including NaN objective imputation (§5.3)."""
+
+import numpy as np
+import pytest
+
+from turbojax import benchmarks as B
+from turbojax.api import Optimizer, optimize
+from turbojax.config import GPConfig
+
+GCFG = GPConfig(fit_restarts=2, fit_maxiter=15)
+
+
+def test_optimize_bo():
+    b = B.get_benchmark("branin")
+    res = optimize(
+        b.fn, b.lb, b.ub, max_evals=18, method="bo", n_init=8,
+        batch_size=1, acq="ei", gp_config=GCFG, n_candidates=64, fit_every=2,
+    )
+    assert res.y_hist.shape == (18,)
+    assert res.best_y == pytest.approx(res.y_hist.min())
+    assert float(b(res.best_x[None])[0]) == pytest.approx(res.best_y, rel=1e-4)
+
+
+def test_optimize_turbo1():
+    b = B.get_benchmark("ackley10")
+    res = optimize(
+        b.fn, b.lb, b.ub, max_evals=40, method="turbo1", n_init=10,
+        batch_size=5, gp_config=GCFG, n_candidates=64,
+    )
+    assert res.best_y < 18.0
+    lb, ub = np.asarray(b.lb), np.asarray(b.ub)
+    assert np.all(res.best_x >= lb) and np.all(res.best_x <= ub)
+
+
+def test_optimize_turbom():
+    b = B.get_benchmark("branin")
+    res = optimize(
+        b.fn, b.lb, b.ub, max_evals=30, method="turbom", m=2, n_init=6,
+        batch_size=3, gp_config=GCFG, n_candidates=32,
+    )
+    assert np.isfinite(res.best_y)
+    assert res.incumbent_trace.shape[0] > 0
+
+
+def test_ask_tell_turbo1_black_box():
+    """The ask/tell protocol with a numpy-only objective (C15 API (a))."""
+    b = B.get_benchmark("branin")
+    opt = Optimizer(
+        b.lb, b.ub, method="turbo1", n_init=6, max_evals=30, batch_size=3,
+        gp_config=GCFG, n_candidates=32, seed=1,
+    )
+    lb, ub = np.asarray(b.lb), np.asarray(b.ub)
+    for _ in range(8):
+        xs = opt.ask()
+        assert xs.shape == (3, 2)
+        assert np.all(xs >= lb - 1e-6) and np.all(xs <= ub + 1e-6)
+        ys = np.asarray(b.fn(xs))  # host-side "black box"
+        opt.tell(xs, ys)
+    bx, by = opt.best
+    assert by == pytest.approx(min(np.concatenate(opt._history_y)))
+    assert by < 25.0
+
+
+def test_ask_tell_bo_with_nan_imputation():
+    """NaN/inf objective values are imputed with a large penalty (§5.3)."""
+    b = B.get_benchmark("branin")
+    opt = Optimizer(
+        b.lb, b.ub, method="bo", n_init=4, max_evals=12, batch_size=2,
+        acq="ei", gp_config=GCFG, n_candidates=32, seed=2,
+    )
+    for i in range(5):
+        xs = opt.ask()
+        ys = np.asarray(b.fn(xs))
+        if i == 2:
+            ys = ys.copy()
+            ys[0] = np.nan  # simulated objective failure
+        opt.tell(xs, ys)
+    ys_all = np.concatenate(opt._history_y)
+    assert np.all(np.isfinite(ys_all))
+    assert np.isfinite(opt.best[1])
+
+
+def test_optimizer_optimize_driver():
+    b = B.get_benchmark("branin")
+    opt = Optimizer(
+        b.lb, b.ub, method="turbo1", n_init=6, max_evals=24, batch_size=3,
+        gp_config=GCFG, n_candidates=32,
+    )
+    res = opt.optimize(lambda xs: np.asarray(b.fn(xs)))
+    assert res.y_hist.shape[0] >= 24
+    assert np.all(np.diff(res.incumbent_trace) <= 1e-9)

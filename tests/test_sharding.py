@@ -1,0 +1,105 @@
+"""Sharding tests (SURVEY.md §4.2 "distributed" tier): every shard_map path
+runs on the 8-virtual-device CPU mesh; the same code is mesh-size generic and
+runs unchanged on a mesh of 1 (single axon chip) or a real pod slice."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turbojax import acq as A
+from turbojax import gp as G
+from turbojax import parallel as PAR
+from turbojax import transforms as T
+from turbojax.config import GPConfig
+
+CFG = GPConfig(kernel="matern52", jitter=0.0)
+
+
+def _state(rng, n=30, d=2, n_max=32, dtype=jnp.float64):
+    x = rng.rand(n, d)
+    y = np.sin(4 * x[:, 0]) + 0.2 * rng.randn(n)
+    x_buf = jnp.zeros((n_max, d), dtype).at[:n].set(jnp.asarray(x, dtype))
+    y_buf = jnp.zeros((n_max,), dtype).at[:n].set(jnp.asarray(y, dtype))
+    mask = jnp.arange(n_max) < n
+    raw = G.GPParams(
+        raw_lengthscale=T.unconstrain(jnp.full((d,), 0.4, dtype), *CFG.lengthscale_bounds),
+        raw_outputscale=T.unconstrain(jnp.asarray(1.0, dtype), *CFG.outputscale_bounds),
+        raw_noise=T.unconstrain(jnp.asarray(1e-3, dtype), *CFG.noise_bounds),
+        raw_mean=jnp.asarray(0.0, dtype),
+    )
+    return G.make_gp_state(x_buf, y_buf, mask, raw, CFG)
+
+
+def test_virtual_mesh_present():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sharded_acq_matches_single_device(rng, n_dev):
+    """Candidate-sharded EI top-q == unsharded EI top-q (C14)."""
+    state = _state(rng)
+    cands = jnp.asarray(rng.rand(64, 2))
+    best = jnp.asarray(0.1)
+    mesh = PAR.make_mesh(n_dev)
+    pts, scores = PAR.sharded_acq_topq(state, cands, best, 4, mesh, CFG, acq="ei")
+
+    mu, var = G.gp_posterior(state, cands, CFG)
+    ref_scores = np.asarray(A.expected_improvement(mu, var, best))
+    order = np.argsort(-ref_scores)[:4]
+    np.testing.assert_allclose(np.sort(np.asarray(scores)), np.sort(-ref_scores[order]), rtol=1e-9)
+    ref_pts = np.asarray(cands)[order]
+    np.testing.assert_allclose(
+        np.sort(np.asarray(pts), axis=0), np.sort(ref_pts, axis=0), rtol=1e-9
+    )
+
+
+@pytest.mark.parametrize("acq", ["ei", "lcb"])
+def test_sharded_acq_both_acquisitions(rng, acq):
+    state = _state(rng)
+    cands = jnp.asarray(rng.rand(32, 2))
+    mesh = PAR.make_mesh(4)
+    pts, scores = PAR.sharded_acq_topq(state, cands, jnp.asarray(0.0), 2, mesh, CFG, acq=acq)
+    assert pts.shape == (2, 2) and scores.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_sharded_thompson_no_duplicates(rng, key):
+    state = _state(rng)
+    cands = jnp.asarray(rng.rand(64, 2))
+    mesh = PAR.make_mesh(8)
+    pts, vals = PAR.sharded_thompson_select(key, state, cands, 6, mesh, CFG)
+    assert pts.shape == (6, 2)
+    # without-replacement: all selected points distinct
+    uniq = np.unique(np.asarray(pts).round(12), axis=0)
+    assert uniq.shape[0] == 6
+    assert np.all(np.isfinite(np.asarray(vals)))
+
+
+def test_sharded_thompson_mesh1_matches_marginals(rng, key):
+    state = _state(rng)
+    cands = jnp.asarray(rng.rand(16, 2))
+    mesh = PAR.make_mesh(1)
+    pts, vals = PAR.sharded_thompson_select(key, state, cands, 3, mesh, CFG)
+    assert pts.shape == (3, 2)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_fit_runs_and_matches_quality(rng, key, n_dev):
+    """Restart-sharded fit (C8) reaches the same-or-better MLL as vmap-only."""
+    n, d, n_max = 40, 2, 48
+    x = rng.rand(n, d)
+    y = np.sin(5 * x[:, 0]) + 0.3 * rng.randn(n)
+    x_buf = jnp.zeros((n_max, d)).at[:n].set(jnp.asarray(x))
+    y_buf = jnp.zeros((n_max,)).at[:n].set(jnp.asarray(y))
+    mask = jnp.arange(n_max) < n
+    cfg = GPConfig(fit_restarts=4, fit_maxiter=25)
+    mesh = PAR.make_mesh(n_dev)
+    state_sh = PAR.sharded_fit_gp(key, x_buf, y_buf, mask, cfg, mesh)
+    state_ref = G.fit_gp(key, x_buf, y_buf, mask, cfg)
+
+    y_std, _, _ = T.standardize(y_buf, mask)
+    mll_sh = float(G.mll(state_sh.raw, x_buf, y_std, mask, cfg))
+    mll_ref = float(G.mll(state_ref.raw, x_buf, y_std, mask, cfg))
+    # same restart inits, same optimizer — identical winner
+    np.testing.assert_allclose(mll_sh, mll_ref, rtol=1e-5)

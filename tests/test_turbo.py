@@ -1,0 +1,98 @@
+"""Integration tests: TuRBO-1 / TuRBO-m loops (SURVEY.md C17, C18;
+configs 4, 5 reduced)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turbojax import benchmarks as B
+from turbojax.config import GPConfig
+from turbojax.trust_region import TurboConfig, run_turbo1
+from turbojax.turbo_m import global_allocate, run_turbom
+
+GCFG = GPConfig(fit_restarts=2, fit_maxiter=15)
+
+
+@pytest.fixture(scope="module")
+def ackley_turbo1():
+    b = B.get_benchmark("ackley10")
+    cfg = TurboConfig(n_init=10, max_evals=80, batch_size=5, n_candidates=200)
+    return run_turbo1(jax.random.key(0), b.fn, b.lb, b.ub, cfg, GCFG)
+
+
+def test_turbo1_improves(ackley_turbo1):
+    carry, trace = ackley_turbo1
+    trace = np.asarray(trace)
+    assert np.all(np.diff(trace) <= 1e-6)
+    # random search on Ackley-10 in [-5,10] stays ≈ 13+; TuRBO should beat it
+    assert float(carry.best_y) < 10.0
+    assert int(carry.n) <= 80
+
+
+def test_turbo1_state_invariants(ackley_turbo1):
+    carry, _ = ackley_turbo1
+    assert 0 < float(carry.tr.length) <= 1.6
+    x = np.asarray(carry.x_buf[: int(carry.n)])
+    assert np.all(x >= 0) and np.all(x <= 1)  # unit-cube internal storage
+
+
+def test_turbo1_forced_restart():
+    """A TR that can never succeed shrinks to restart (length resets, history
+    cleared) — drive with an adversarial flat objective."""
+    flat = lambda x: jnp.zeros(x.shape[0])
+    cfg = TurboConfig(
+        n_init=4, max_evals=60, batch_size=4, n_candidates=32,
+    )
+    from turbojax.config import TRConfig
+
+    cfg = TurboConfig(
+        n_init=4, max_evals=120, batch_size=4, n_candidates=32,
+        tr=TRConfig(fail_tol=1),  # every non-improving batch halves the length
+    )
+    carry, _ = run_turbo1(jax.random.key(1), flat, (0.0,) * 3, (1.0,) * 3, cfg, GCFG)
+    assert int(carry.tr.restarts) >= 1
+    assert float(carry.tr.length) > 0.5**7  # fresh region after restart
+
+
+def test_global_allocate_without_replacement():
+    vals = jnp.asarray(
+        [  # (m=2, q=2, n_cand=3)
+            [[5.0, 1.0, 9.0], [5.0, 1.0, 9.0]],
+            [[2.0, 8.0, 9.0], [0.5, 8.0, 9.0]],
+        ]
+    )
+    tr_idx, cand_idx = global_allocate(vals)
+    # slot 0: global min is TR0/cand1 (1.0); slot 1: TR1/cand0 (0.5)
+    assert tr_idx.tolist() == [0, 1]
+    assert cand_idx.tolist() == [1, 0]
+
+
+def test_global_allocate_no_duplicate_pairs(key):
+    vals = jax.random.uniform(key, (3, 6, 10))
+    tr_idx, cand_idx = global_allocate(vals)
+    pairs = list(zip(tr_idx.tolist(), cand_idx.tolist()))
+    assert len(set(pairs)) == len(pairs)
+
+
+@pytest.fixture(scope="module")
+def ackley_turbom():
+    b = B.get_benchmark("ackley10")
+    cfg = TurboConfig(n_init=8, max_evals=56, batch_size=4, n_candidates=64)
+    return run_turbom(jax.random.key(0), b.fn, b.lb, b.ub, cfg, GCFG, m=3)
+
+
+def test_turbom_runs_and_improves(ackley_turbom):
+    carries, trace = ackley_turbom
+    trace = np.asarray(trace)
+    assert np.all(np.diff(trace) <= 1e-6)
+    assert float(trace[-1]) < 15.0
+    # every TR completed its init design
+    assert np.all(np.asarray(carries.n) >= 8)
+
+
+def test_turbom_eval_accounting(ackley_turbom):
+    carries, _ = ackley_turbom
+    cfg_iters = (56 - 8 + 3) // 4
+    total = int(np.asarray(carries.n).sum())
+    assert total == cfg_iters * 4  # every evaluated point landed in exactly one TR

@@ -286,7 +286,7 @@ def run_turbo1(
         k_prop, k_restart, k_next = jax.random.split(carry.key, 3)
         carry = carry._replace(key=k_next)
         carry, xs, in_search = turbo_propose(carry, k_prop, cfg, config)
-        ys = fn(T.from_unit_cube(xs, lb_a, ub_a))
+        ys = fn(T.from_unit_cube(xs, lb_a, ub_a)).astype(xs.dtype)
         accept = jnp.ones((cfg.batch_size,), jnp.bool_)
         carry = turbo_absorb(carry, xs, ys, accept, in_search, cfg, config, fail_tol, k_restart)
         return carry, carry.best_y

@@ -149,7 +149,7 @@ def run_turbom(
 
         tr_idx, cand_idx = global_allocate(values)  # (q,), (q,)
         x_sel = cands[tr_idx, cand_idx]  # (q, d)
-        y_sel = fn(T.from_unit_cube(x_sel, lb_a, ub_a))
+        y_sel = fn(T.from_unit_cube(x_sel, lb_a, ub_a)).astype(x_sel.dtype)
 
         in_search = carries.n >= cfg.n_init  # (m,)
         accept = tr_idx[None, :] == jnp.arange(m)[:, None]  # (m, q)
