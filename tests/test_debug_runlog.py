@@ -1,0 +1,57 @@
+"""Tests: §5.2 NaN/checkify tooling and §5.5 run logging."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turbojax import debug as D
+from turbojax.runlog import RunLog, annotate, profile
+
+
+def test_checked_passes_clean():
+    f = D.checked(lambda x: jnp.sqrt(x) + 1.0)
+    out = f(jnp.asarray([1.0, 4.0]))
+    np.testing.assert_allclose(np.asarray(out), [2.0, 3.0])
+
+
+def test_checked_raises_on_nan():
+    f = D.checked(lambda x: jnp.log(x))  # log(-1) -> nan
+    with pytest.raises(Exception) as e:
+        f(jnp.asarray([-1.0]))
+    assert "nan" in str(e.value).lower()
+
+
+def test_assert_finite_state():
+    good = {"a": jnp.ones(3), "n": jnp.asarray(4)}
+    D.assert_finite_state(good)
+    bad = {"a": jnp.asarray([1.0, jnp.inf])}
+    with pytest.raises(FloatingPointError):
+        D.assert_finite_state(bad, "carry")
+
+
+def test_debug_nans_scope():
+    before = jax.config.jax_debug_nans
+    with D.debug_nans(True):
+        assert jax.config.jax_debug_nans is True
+    assert jax.config.jax_debug_nans == before
+
+
+def test_runlog_jsonl_and_records(tmp_path):
+    path = str(tmp_path / "run.jsonl")
+    with RunLog(path, verbose=False) as log:
+        log.log(0, best_y=1.5, tr_length=0.8)
+        log.log(1, best_y=1.2, mll=-3.3)
+    lines = [json.loads(l) for l in open(path)]
+    assert [l["iter"] for l in lines] == [0, 1]
+    assert lines[1]["best_y"] == 1.2
+    assert len(log.records) == 2
+
+
+def test_profile_and_annotate_noop():
+    with profile(None):
+        with annotate("fit"):
+            x = jnp.ones(4) * 2
+    assert float(x.sum()) == 8.0

@@ -39,6 +39,8 @@ class GPConfig:
 
     kernel: str = "matern52"
     use_ard: bool = True
+    use_pallas: bool = False  # route tile-aligned kernel-matrix builds through
+    # the fused Pallas kernel (TPU backend only; jnp fallback otherwise)
     noise_floor: float = 1e-4
     jitter: float = 1e-6
     lengthscale_bounds: Tuple[float, float] = (0.005, 20.0)

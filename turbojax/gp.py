@@ -119,11 +119,39 @@ def sample_restart_params(key: Array, dim: int, config: GPConfig, n: int, dtype=
 # Marginal log-likelihood (SURVEY.md C6)
 
 
+def _use_pallas(config: GPConfig, *arrays: Array) -> bool:
+    """Route through the fused Pallas kernel when the config asks for it,
+    the backend is TPU, dtypes are f32, and shapes are tile-aligned
+    (SURVEY.md §7.1.7; jnp fallback keeps parity CI honest)."""
+    if not config.use_pallas:
+        return False
+    from turbojax import pallas_kernels as PK
+
+    if not PK.pallas_available():
+        return False
+    return all(a.shape[0] % PK._TILE == 0 and a.dtype == jnp.float32 for a in arrays)
+
+
+def _kernel_matrix(
+    params: Dict[str, Array], x1: Array, x2: Array, config: GPConfig, add_noise: bool
+) -> Array:
+    if _use_pallas(config, x1, x2):
+        from turbojax import pallas_kernels as PK
+
+        z1 = x1 / params["lengthscale"]
+        z2 = x2 / params["lengthscale"]
+        return PK.fused_kernel_matrix(
+            z1, z2, params["outputscale"], params["noise"],
+            kernel_name=config.kernel, add_noise=add_noise,
+        )
+    k_mat = K.get_kernel(config.kernel)(params, x1, x2)
+    if add_noise:
+        k_mat = k_mat + params["noise"] * jnp.eye(x1.shape[0], dtype=k_mat.dtype)
+    return k_mat
+
+
 def _masked_kernel_chol(params: Dict[str, Array], x_buf: Array, mask: Array, config: GPConfig) -> Array:
-    kfn = K.get_kernel(config.kernel)
-    k_mat = kfn(params, x_buf, x_buf)
-    n_max = x_buf.shape[0]
-    k_mat = k_mat + params["noise"] * jnp.eye(n_max, dtype=k_mat.dtype)
+    k_mat = _kernel_matrix(params, x_buf, x_buf, config, add_noise=True)
     k_mat = L.mask_kernel_matrix(k_mat, mask)
     return L.cholesky_jittered(k_mat, config.jitter)
 
@@ -243,8 +271,9 @@ def make_gp_state(
 def _posterior_chunk(
     state: GPState, xs: Array, config: GPConfig, include_noise: bool
 ) -> Tuple[Array, Array]:
-    kfn = K.get_kernel(config.kernel)
-    k_cross = L.mask_cross_matrix(kfn(state.params, state.x_buf, xs), state.mask)
+    k_cross = L.mask_cross_matrix(
+        _kernel_matrix(state.params, state.x_buf, xs, config, add_noise=False), state.mask
+    )
     v = L.solve_lower(state.chol, k_cross)  # (N_max, m)
     mu_s = state.params["mean"] + k_cross.T @ state.alpha
     var_s = K.kernel_diag(state.params, xs) - jnp.sum(v * v, axis=0)
@@ -287,11 +316,12 @@ def posterior_cov(
     """Joint posterior (mean, covariance) over a candidate chunk — the input
     to joint Thompson sampling (SURVEY.md C13). O(m²) memory: chunk upstream.
     """
-    kfn = K.get_kernel(config.kernel)
-    k_cross = L.mask_cross_matrix(kfn(state.params, state.x_buf, xs), state.mask)
+    k_cross = L.mask_cross_matrix(
+        _kernel_matrix(state.params, state.x_buf, xs, config, add_noise=False), state.mask
+    )
     v = L.solve_lower(state.chol, k_cross)
     mu_s = state.params["mean"] + k_cross.T @ state.alpha
-    cov_s = kfn(state.params, xs, xs) - v.T @ v
+    cov_s = _kernel_matrix(state.params, xs, xs, config, add_noise=False) - v.T @ v
     if include_noise:
         cov_s = cov_s + state.params["noise"] * jnp.eye(xs.shape[0], dtype=cov_s.dtype)
     if standardized:
