@@ -108,3 +108,80 @@ def test_thompson_select_shapes(rng, key):
     xs = jnp.asarray(rng.rand(50, 2))
     pts, vals = A.thompson_select(key, state, xs, 5, CFG)
     assert pts.shape == (5, 2) and vals.shape == (5,)
+
+
+def test_rff_frequencies_distributions(key):
+    # RBF: standard normal; Matérn-5/2: heavier-tailed t with matching center
+    om_rbf, b = A.rff_frequencies(key, 3, 4000, "rbf", jnp.float64)
+    assert abs(float(om_rbf.mean())) < 0.05
+    assert abs(float(om_rbf.std()) - 1.0) < 0.05
+    assert b.min() >= 0 and b.max() < 2 * np.pi
+    om_m52, _ = A.rff_frequencies(key, 3, 4000, "matern52", jnp.float64)
+    # t with 5 dof has std sqrt(5/3) ≈ 1.291
+    assert abs(float(om_m52.std()) - np.sqrt(5.0 / 3.0)) < 0.1
+
+
+def test_rff_feature_kernel_approximation(rng, key):
+    """E[φ(x)ᵀφ(x')] converges to k(x, x') (Rahimi-Recht identity)."""
+    from turbojax import kernels as K
+
+    d, m = 2, 16384
+    x = jnp.asarray(rng.rand(10, d))
+    ls = jnp.asarray([0.5, 0.8])
+    params = {"lengthscale": ls, "outputscale": jnp.asarray(1.5)}
+    omega, b = A.rff_frequencies(key, d, m, "rbf", jnp.float64)
+    phi = A._rff_phi(x, omega, b, ls, jnp.asarray(1.5))
+    approx = np.asarray(phi @ phi.T)
+    exact = np.asarray(K.rbf(params, x, x))
+    np.testing.assert_allclose(approx, exact, atol=0.06)
+
+
+def test_rff_posterior_mean_matches_exact(rng, key):
+    """The RFF weight-space *posterior mean* at candidates approximates the
+    exact GP posterior mean (feature-truncation tolerance) — validates the
+    Bayesian-linear-regression conditioning inside the sampler (C13)."""
+    from turbojax import linalg as L
+    from turbojax.acq import _rff_phi, rff_frequencies
+
+    # well-conditioned regime: larger noise keeps K⁻¹ from amplifying the
+    # O(1/√M) feature-truncation error (the near-noiseless regime is RFF's
+    # known "variance starvation" weakness — why the sampler is off by default)
+    cfg = GPConfig(kernel="rbf", jitter=0.0, noise_bounds=(1e-4, 0.5))
+    x = rng.rand(20, 2)
+    y = np.sin(4 * x[:, 0]) + 0.2 * rng.randn(20)
+    x_buf = jnp.zeros((32, 2)).at[:20].set(jnp.asarray(x))
+    y_buf = jnp.zeros((32,)).at[:20].set(jnp.asarray(y))
+    mask = jnp.arange(32) < 20
+    from turbojax import transforms as T
+
+    raw = G.GPParams(
+        raw_lengthscale=T.unconstrain(jnp.full((2,), 0.4), *cfg.lengthscale_bounds),
+        raw_outputscale=T.unconstrain(jnp.asarray(1.0), *cfg.outputscale_bounds),
+        raw_noise=T.unconstrain(jnp.asarray(0.05), *cfg.noise_bounds),
+        raw_mean=jnp.asarray(0.0),
+    )
+    state = G.make_gp_state(x_buf, y_buf, mask, raw, cfg)
+    CFG_L = cfg
+    xs = jnp.asarray(rng.rand(12, 2))
+    dim = 2
+    m = 4096
+    p = state.params
+    omega, b = rff_frequencies(key, dim, m, CFG_L.kernel, jnp.float64)
+    ls = jnp.broadcast_to(p["lengthscale"], (dim,))
+    phi_x = jnp.where(state.mask[:, None], _rff_phi(state.x_buf, omega, b, ls, p["outputscale"]), 0.0)
+    a_mat = phi_x.T @ phi_x / p["noise"] + jnp.eye(m, dtype=jnp.float64)
+    chol_a = jnp.linalg.cholesky(a_mat)
+    resid = jnp.where(state.mask, state.chol @ (state.chol.T @ state.alpha), 0.0)
+    mean_w = L.cho_solve(chol_a, phi_x.T @ resid / p["noise"])
+    mu_rff = np.asarray(_rff_phi(xs, omega, b, ls, p["outputscale"]) @ mean_w)
+
+    mu_exact, _ = G.gp_posterior(state, xs, CFG_L, standardized=True)
+    np.testing.assert_allclose(mu_rff, np.asarray(mu_exact), atol=0.08)
+
+
+def test_rff_thompson_select_shapes_and_uniqueness(rng, key):
+    state = _state(rng)
+    xs = jnp.asarray(rng.rand(64, 2))
+    pts, vals = A.rff_thompson_select(key, state, xs, 6, CFG, n_features=512)
+    assert pts.shape == (6, 2) and vals.shape == (6,)
+    assert np.unique(np.asarray(pts), axis=0).shape[0] == 6

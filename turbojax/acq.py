@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from turbojax import gp as G
+from turbojax import linalg as L
 from turbojax.config import GPConfig
 
 Array = jax.Array
@@ -137,4 +138,83 @@ def thompson_select(
     """Full batched-TS acquisition: draw, then select q points [B:9]."""
     samples = thompson_samples(key, state, xs, q, config, chunk_size)
     idxs, vals = select_q_batch(samples)
+    return xs[idxs], vals
+
+
+# --------------------------------------------------------------------------
+# Random-Fourier-feature (weight-space) Thompson sampling — the optional
+# cheaper sampler of SURVEY.md C13, off by default for reference parity.
+#
+# f(x) ≈ φ(x)ᵀw with φ(x) = sqrt(2 s²/M) cos(Ωx + b), Ω drawn from the
+# kernel's spectral density (Rahimi & Recht 2007); conditioning w on the
+# data is Bayesian linear regression, so one M×M factorization yields
+# *globally joint* sample paths — no per-chunk block-diagonal approximation,
+# and O(M²) instead of O(n_cand²) — at the cost of the feature-truncation
+# approximation (M features).
+
+
+def rff_frequencies(
+    key: Array, dim: int, n_features: int, kernel: str, dtype=jnp.float32
+) -> Tuple[Array, Array]:
+    """Spectral frequencies Ω (M, d) for unit lengthscale + phases b (M,).
+
+    RBF: Ω ~ N(0, I). Matérn-ν: Ω ~ multivariate-t with 2ν dof
+    (Ω = Z·sqrt(ν/Gamma(ν)) row-wise)."""
+    kw, kb, kg = jax.random.split(key, 3)
+    z = jax.random.normal(kw, (n_features, dim), dtype)
+    if kernel == "rbf":
+        omega = z
+    elif kernel in ("matern12", "matern32", "matern52"):
+        nu = {"matern12": 0.5, "matern32": 1.5, "matern52": 2.5}[kernel]
+        g = jax.random.gamma(kg, nu, (n_features, 1), dtype)
+        omega = z * jnp.sqrt(nu / jnp.maximum(g, 1e-12))
+    else:
+        raise ValueError(f"no spectral density for kernel {kernel!r}")
+    b = jax.random.uniform(kb, (n_features,), dtype, 0.0, 2.0 * jnp.pi)
+    return omega, b
+
+
+def _rff_phi(x: Array, omega: Array, b: Array, lengthscale: Array, outputscale: Array) -> Array:
+    """(n, M) feature map; the Ω x product is one MXU matmul."""
+    m = omega.shape[0]
+    proj = (x / lengthscale) @ omega.T + b[None, :]
+    return jnp.sqrt(2.0 * outputscale / m) * jnp.cos(proj)
+
+
+def rff_thompson_select(
+    key: Array,
+    state: G.GPState,
+    xs: Array,
+    q: int,
+    config: GPConfig,
+    n_features: int = 1024,
+) -> Tuple[Array, Array]:
+    """Weight-space TS: condition w | data in feature space, draw q joint
+    paths, select q candidates without replacement. Enable via
+    ``ts_sampler="rff"`` in the loop configs."""
+    kf, kw = jax.random.split(key)
+    p = state.params
+    dim = xs.shape[-1]
+    omega, b = rff_frequencies(kf, dim, n_features, config.kernel, xs.dtype)
+    ls = jnp.broadcast_to(p["lengthscale"], (dim,))
+
+    phi_x = _rff_phi(state.x_buf, omega, b, ls, p["outputscale"])  # (N_max, M)
+    phi_x = jnp.where(state.mask[:, None], phi_x, 0.0)
+    noise = p["noise"]
+    # A = ΦᵀΦ/σ² + I ;  w | y ~ N(A⁻¹ Φᵀ r / σ², A⁻¹), r = y_std − mean
+    a_mat = phi_x.T @ phi_x / noise + jnp.eye(n_features, dtype=xs.dtype)
+    chol_a = jnp.linalg.cholesky(a_mat)
+    # recover the standardized residual from the cached solve: r = L Lᵀ α
+    resid = state.chol @ (state.chol.T @ state.alpha)
+    resid = jnp.where(state.mask, resid, 0.0)
+    mean_w = L.cho_solve(chol_a, phi_x.T @ resid / noise)
+    z = jax.random.normal(kw, (q, n_features), xs.dtype)
+    w = mean_w[None, :] + jax.scipy.linalg.solve_triangular(
+        chol_a, z.T, lower=True, trans=1
+    ).T  # (q, M): mean + A^{-1/2} z via L⁻ᵀ z
+
+    phi_c = _rff_phi(xs, omega, b, ls, p["outputscale"])  # (n_cand, M)
+    draws_std = p["mean"] + w @ phi_c.T  # (q, n_cand)
+    draws = draws_std * state.y_std + state.y_mean
+    idxs, vals = select_q_batch(draws)
     return xs[idxs], vals

@@ -115,6 +115,100 @@ def optimize(
     raise ValueError(f"unknown method {method!r}")
 
 
+class Turbo1:
+    """Reference-style constructor API [R]:
+    ``Turbo1(f, lb, ub, n_init, max_evals, batch_size).optimize()`` then read
+    ``.X``, ``.fX``, ``best_x``, ``best_y`` (SURVEY.md C21, §1 L5/L6).
+
+    ``f`` may be any host-side callable taking (q, d) numpy arrays in the
+    original box; all surrogate math runs on device via the ask/tell core.
+    """
+
+    _method = "turbo1"
+
+    def __init__(
+        self,
+        f: Callable[[np.ndarray], np.ndarray],
+        lb: Sequence[float],
+        ub: Sequence[float],
+        n_init: int = 20,
+        max_evals: int = 200,
+        batch_size: int = 10,
+        verbose: bool = False,
+        seed: int = 0,
+        use_ard: bool = True,
+        max_cholesky_size: Optional[int] = None,
+        gp_config: Optional[GPConfig] = None,
+        tr_config: TRConfig = TRConfig(),
+    ):
+        self.f = f
+        self.verbose = verbose
+        gp_config = gp_config or GPConfig(use_ard=use_ard)
+        self._opt = Optimizer(
+            lb, ub, method=self._method, n_init=n_init, max_evals=max_evals,
+            batch_size=batch_size, seed=seed, gp_config=gp_config,
+            tr_config=tr_config, max_cholesky_size=max_cholesky_size,
+        )
+        self.X = np.zeros((0, len(lb)))
+        self.fX = np.zeros((0,))
+
+    def optimize(self) -> "Turbo1":
+        n = 0
+        while n < self._opt.cfg.max_evals:
+            xs = self._opt.ask()
+            ys = np.asarray(self.f(xs)).reshape(-1)
+            self._opt.tell(xs, ys)
+            n += xs.shape[0]
+            if self.verbose:
+                print(f"[{n:4d}] best = {self._opt.best[1]:.6f}")
+        self.X = np.concatenate(self._opt._history_x)
+        self.fX = np.concatenate(self._opt._history_y)
+        return self
+
+    @property
+    def best_x(self) -> np.ndarray:
+        return self._opt.best[0]
+
+    @property
+    def best_y(self) -> float:
+        return self._opt.best[1]
+
+
+class TurboM:
+    """Reference-style TuRBO-m constructor [R]: runs the compiled
+    multi-trust-region loop (C18 [B:11]); requires a jnp-expressible f
+    (the fully-jit path — use ``Optimizer`` ask/tell for black boxes)."""
+
+    def __init__(
+        self,
+        f,
+        lb: Sequence[float],
+        ub: Sequence[float],
+        n_init: int = 20,
+        max_evals: int = 200,
+        batch_size: int = 10,
+        n_trust_regions: int = 5,
+        seed: int = 0,
+        gp_config: GPConfig = GPConfig(),
+        tr_config: TRConfig = TRConfig(),
+    ):
+        self._args = (f, lb, ub, max_evals, n_init, batch_size, n_trust_regions, seed, gp_config, tr_config)
+        self.X = np.zeros((0, len(lb)))
+        self.fX = np.zeros((0,))
+
+    def optimize(self) -> "TurboM":
+        f, lb, ub, max_evals, n_init, batch_size, m, seed, gp_config, tr_config = self._args
+        res = optimize(
+            f, lb, ub, max_evals=max_evals, method="turbom", n_init=n_init,
+            batch_size=batch_size, m=m, seed=seed, gp_config=gp_config,
+            tr_config=tr_config,
+        )
+        self.X, self.fX = res.x_hist, res.y_hist
+        self.best_x, self.best_y = res.best_x, res.best_y
+        self.result = res
+        return self
+
+
 class Optimizer:
     """Host-side ask/tell optimizer for black-box objectives
     (SURVEY.md C15 API (a)): the objective is evaluated by the caller; all
@@ -143,9 +237,15 @@ class Optimizer:
         tr_config: TRConfig = TRConfig(),
         fit_every: int = 1,
         n_candidates: Optional[int] = None,
+        max_cholesky_size: Optional[int] = None,
     ):
+        """``max_cholesky_size`` mirrors the reference knob [R, SURVEY.md
+        §5.6]: the reference switches to iterative (Lanczos) methods beyond
+        it; the TPU-idiomatic equivalent is chunking the joint-TS/posterior
+        factorizations, so it maps to the TS chunk size here."""
         if method not in ("bo", "turbo1"):
             raise ValueError("ask/tell supports methods 'bo' and 'turbo1'")
+        self._ts_chunk = max_cholesky_size
         self.lb = np.asarray(lb, np.float32)
         self.ub = np.asarray(ub, np.float32)
         self.dim = len(self.lb)
@@ -161,6 +261,7 @@ class Optimizer:
             self.cfg = TR.TurboConfig(
                 n_init=n_init, max_evals=max_evals, batch_size=batch_size,
                 n_candidates=n_candidates, fit_every=fit_every, tr=tr_config,
+                ts_chunk=self._ts_chunk,
             )
             n_loc = n_init + self.cfg.n_iters * batch_size
             self._fail_tol = tr_config.resolved_fail_tol(self.dim, batch_size)
@@ -179,15 +280,19 @@ class Optimizer:
                 n_init=n_init, max_evals=max_evals, batch_size=batch_size, acq=acq,
                 fit_every=fit_every,
                 n_candidates=n_candidates or min(100 * self.dim, 5000),
+                ts_chunk=self._ts_chunk,
             )
             self._carry = None  # built lazily once n_init points are told
             self._init_x = np.asarray(
                 BO.S.latin_hypercube(self._next_key(), n_init, self.dim)
             )
             self._n_told = 0
+            chol_mode = self.cfg.resolved_chol_mode()
             self._suggest = jax.jit(lambda c, k: BO._suggest(c, self.gp_config, self.cfg, k))
             self._refit = jax.jit(lambda c, k: BO._refit_carry(c, self.gp_config, k))
-            self._append = jax.jit(lambda c, x, y: BO._append_batch(c, x, y, self.gp_config))
+            self._append = jax.jit(
+                lambda c, x, y: BO._append_batch(c, x, y, self.gp_config, chol_mode)
+            )
 
     def _next_key(self) -> Array:
         self._key, sub = jax.random.split(self._key)

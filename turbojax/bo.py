@@ -52,10 +52,24 @@ class BOConfig:
     kappa: float = 2.0
     xi: float = 0.0
     ts_chunk: Optional[int] = None
+    ts_sampler: str = "exact"  # "exact" (chunked joint chol [B:9]) | "rff"
+    rff_features: int = 1024
+    chol_mode: str = "auto"  # "incremental" | "refactor" | "auto"
+    # Measured on TPU v5e at N=2048: one chol_append is a latency-bound
+    # single-rhs trsm (~10 ms) while a full refactorization is a parallel
+    # O(n³) chol (~7 ms) — so on TPU "auto" refactorizes; on CPU the O(n²)
+    # incremental path wins and "auto" keeps it (reference parity [B:7]).
 
     @property
     def n_iters(self) -> int:
         return max(0, (self.max_evals - self.n_init + self.batch_size - 1) // self.batch_size)
+
+    def resolved_chol_mode(self) -> str:
+        if self.chol_mode != "auto":
+            return self.chol_mode
+        import jax
+
+        return "refactor" if jax.default_backend() == "tpu" else "incremental"
 
 
 class BOCarry(NamedTuple):
@@ -101,24 +115,32 @@ def _refit_carry(carry: BOCarry, config: GPConfig, fit_key: Array) -> BOCarry:
 
 
 def _append_batch(
-    carry: BOCarry, x_new: Array, y_new: Array, config: GPConfig
+    carry: BOCarry, x_new: Array, y_new: Array, config: GPConfig, chol_mode: str = "incremental"
 ) -> BOCarry:
-    """Write a q-batch into the buffers and extend the carried factor by q
-    O(n²) ``chol_append`` rows (SURVEY.md C5, [B:5])."""
+    """Write a q-batch into the buffers and refresh the carried factor.
+
+    ``chol_mode="incremental"``: q O(n²) ``chol_append`` rows (SURVEY.md C5,
+    [B:5]) — FLOP-optimal, wins on CPU. ``"refactor"``: one full masked
+    re-factorization — wins on TPU where the single-rhs trsm inside an
+    append is latency-bound (see BOConfig.chol_mode)."""
     q = x_new.shape[0]
-    n_max = carry.x_buf.shape[0]
     params = G.constrain_params(carry.raw, config)
-    kfn = K.get_kernel(config.kernel)
 
     x_buf = lax.dynamic_update_slice(carry.x_buf, x_new, (carry.n, jnp.zeros_like(carry.n)))
     y_buf = lax.dynamic_update_slice(carry.y_buf, y_new, (carry.n,))
+    n_new = carry.n + q
 
-    # covariance of each new point against the *post-write* buffer, so the
-    # j-th append sees the previously appended points in its active prefix
-    k_block = kfn(params, x_new, x_buf)  # (q, N_max)
-    k_diag = K.kernel_diag(params, x_new) + params["noise"]
-    chol = L.chol_append_batch(carry.chol, carry.n, k_block, k_diag, q)
-    return carry._replace(x_buf=x_buf, y_buf=y_buf, n=carry.n + q, chol=chol)
+    if chol_mode == "refactor":
+        mask = L.row_mask(x_buf.shape[0], n_new)
+        chol = G._masked_kernel_chol(params, x_buf, mask, config)
+    else:
+        kfn = K.get_kernel(config.kernel)
+        # covariance of each new point against the *post-write* buffer, so the
+        # j-th append sees the previously appended points in its active prefix
+        k_block = kfn(params, x_new, x_buf)  # (q, N_max)
+        k_diag = K.kernel_diag(params, x_new) + params["noise"]
+        chol = L.chol_append_batch(carry.chol, carry.n, k_block, k_diag, q)
+    return carry._replace(x_buf=x_buf, y_buf=y_buf, n=n_new, chol=chol)
 
 
 def _suggest(
@@ -131,7 +153,10 @@ def _suggest(
     cands = S.sobol_sample(kc, dim, bo.n_candidates, dtype=carry.x_buf.dtype)
     state = _state_from_carry(carry, config)
     if bo.acq == "ts":
-        xs, _ = A.thompson_select(kt, state, cands, bo.batch_size, config, bo.ts_chunk)
+        if bo.ts_sampler == "rff":
+            xs, _ = A.rff_thompson_select(kt, state, cands, bo.batch_size, config, bo.rff_features)
+        else:
+            xs, _ = A.thompson_select(kt, state, cands, bo.batch_size, config, bo.ts_chunk)
         return xs
     mu, var = G.gp_posterior(state, cands, config)
     if bo.acq == "ei":
@@ -169,6 +194,7 @@ def run_bo(
     lb_a = jnp.asarray(lb, jnp.float32)
     ub_a = jnp.asarray(ub, jnp.float32)
     n_max = n_max or bo.n_init + bo.n_iters * bo.batch_size
+    chol_mode = bo.resolved_chol_mode()
     k_init, k_fit0, k_loop = jax.random.split(key, 3)
 
     # -- init design (LHS [R]) + first fit/factorization
@@ -197,7 +223,7 @@ def run_bo(
             carry = lax.cond(do_fit, lambda c: _refit_carry(c, config, k_fit), lambda c: c, carry)
         x_unit = _suggest(carry, config, bo, k_it)
         y_new = fn(T.from_unit_cube(x_unit, lb_a, ub_a)).astype(x_unit.dtype)
-        carry = _append_batch(carry, x_unit, y_new, config)
+        carry = _append_batch(carry, x_unit, y_new, config, chol_mode)
         mask_now = L.row_mask(n_max, carry.n)
         best_now = jnp.min(jnp.where(mask_now, carry.y_buf, jnp.inf))
         return carry, best_now

@@ -48,6 +48,8 @@ class GPConfig:
     noise_bounds: Tuple[float, float] = (1e-4, 0.2)
     fit_optimizer: str = "lbfgs"
     fit_maxiter: int = 50
+    fit_linesearch_steps: int = 12  # zoom-linesearch cap; unbounded search
+    # dominates fit wall-clock on TPU (measured: 18 s → ~6 s at N=2000)
     fit_lr: float = 0.1
     fit_restarts: int = 4
     learn_mean: bool = False

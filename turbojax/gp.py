@@ -192,8 +192,14 @@ def _fit_one(raw0: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GP
         raw_fin, _ = lax.fori_loop(0, config.fit_maxiter, body, (raw0, opt.init(raw0)))
         return raw_fin, loss(raw_fin)
 
-    # L-BFGS with zoom line search — the reference-parity path [B:8].
-    opt = optax.lbfgs()
+    # L-BFGS with zoom line search — the reference-parity path [B:8]. The
+    # line search is capped: every probe costs a full chol fwd+bwd, and the
+    # uncapped default dominates fit wall-clock (config.fit_linesearch_steps).
+    opt = optax.lbfgs(
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=config.fit_linesearch_steps
+        )
+    )
     value_and_grad = optax.value_and_grad_from_state(loss)
 
     def cond(carry):

@@ -291,3 +291,32 @@ def sharded_turbom_step(
         check_vma=False,
     )
     return step(carries, key)
+
+
+# --------------------------------------------------------------------------
+# Multi-seed / fleet parallelism (SURVEY.md §2.6 last row, §5.8 DCN)
+#
+# The seed axis is embarrassingly parallel: no collectives, aggregate at the
+# end. Single-host it is a vmap; multi-host each process runs its slice of
+# seeds independently (DCN carries nothing but the final reduction, done by
+# the caller over the returned per-seed results).
+
+
+def fleet_run(run_fn, seeds, process_index: Optional[int] = None, process_count: Optional[int] = None):
+    """Run ``run_fn(key)`` for a slice of seeds on this host.
+
+    Args:
+      run_fn: a (jit-compiled) function of a PRNG key returning any pytree
+        (e.g. a closed-over ``run_turbo1`` call).
+      seeds: full list of integer seeds for the fleet.
+      process_index/process_count: this host's slot; defaults to
+        ``jax.process_index()/count()`` so the same script works single- and
+        multi-host. Each host owns seeds[i::count] — no communication.
+
+    Returns (host_seeds, results) for this host's slice.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    mine = list(seeds)[pi::pc]
+    results = [run_fn(jax.random.key(s)) for s in mine]
+    return mine, results

@@ -48,6 +48,8 @@ class TurboConfig:
     n_candidates: Optional[int] = None  # default min(100 d, 5000) [R]
     fit_every: int = 1
     ts_chunk: Optional[int] = None
+    ts_sampler: str = "exact"  # "exact" (chunked joint chol) | "rff" (C13 option)
+    rff_features: int = 1024
     tr: TRConfig = TRConfig()
 
     @property
@@ -183,7 +185,10 @@ def turbo_propose(
         center = c.x_buf[best_idx]
         ls = jnp.broadcast_to(state.params["lengthscale"], (dim,))
         cands = S.tr_candidates(k_cand, center, c.tr.length, ls, n_cand)
-        xs, _ = A.thompson_select(k_ts, state, cands, q, config, cfg.ts_chunk)
+        if cfg.ts_sampler == "rff":
+            xs, _ = A.rff_thompson_select(k_ts, state, cands, q, config, cfg.rff_features)
+        else:
+            xs, _ = A.thompson_select(k_ts, state, cands, q, config, cfg.ts_chunk)
         return c, xs
 
     carry, xs = lax.cond(in_search, search_proposals, init_proposals, carry)
