@@ -61,7 +61,11 @@ def bench_tpu(x, y, cands):
         return xs, vals, ei, mu, var
 
     key = jax.random.key(0)
-    out = iteration(x_buf, y_buf, cands_j, key)  # compile + warmup
+    # compile + warm the dispatch path: the first executed batch after
+    # compilation pays one-time costs (~100 ms measured) that vanish from
+    # the steady state the protocol measures (BASELINE.md: post-warmup)
+    for w in range(4):
+        out = iteration(x_buf, y_buf, cands_j, jax.random.fold_in(key, 1000 + w))
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(REPS_TPU):

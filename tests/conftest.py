@@ -18,10 +18,18 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+import tempfile
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the suite compiles ~40 scan-loop programs; the
+# cache turns repeat runs (and -x reruns) from ~10 min into ~2 min.
+_cache_dir = os.path.join(tempfile.gettempdir(), "turbojax-xla-cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -9,6 +9,8 @@ from turbojax import checkpoint as CK
 from turbojax.config import GPConfig
 from turbojax.trust_region import TurboConfig, make_turbo_carry
 
+# the save/restore round-trip test drives the ask/tell Optimizer (§5.4)
+
 
 def test_round_trip_carry(tmp_path, key):
     cfg = TurboConfig(n_init=4, max_evals=20, batch_size=2, n_candidates=16)
@@ -42,6 +44,34 @@ def test_resume_determinism(tmp_path, key):
     a = jax.random.uniform(state["key"], (4,))
     b = jax.random.uniform(restored["key"], (4,))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_optimizer_save_restore_continues_identically(tmp_path):
+    """Save mid-run, restore into a fresh Optimizer, continue: the restored
+    run's asks match what the original would produce (RNG is state, §5.4)."""
+    import numpy as np
+
+    from turbojax import benchmarks as B
+    from turbojax.api import Optimizer
+
+    b = B.get_benchmark("branin")
+    gcfg = GPConfig(fit_restarts=2, fit_maxiter=5)
+    mk = lambda: Optimizer(
+        b.lb, b.ub, method="turbo1", n_init=4, max_evals=20, batch_size=2,
+        gp_config=gcfg, n_candidates=16, seed=7,
+    )
+    a = mk()
+    for _ in range(3):
+        xs = a.ask()
+        a.tell(xs, np.asarray(b.fn(xs)))
+    path = str(tmp_path / "opt.npz")
+    a.save(path)
+    nxt_a = a.ask()
+
+    c = mk().restore(path)
+    nxt_c = c.ask()
+    np.testing.assert_allclose(nxt_a, nxt_c, rtol=1e-6)
+    assert c.best[1] == a.best[1]
 
 
 def test_leaf_count_mismatch_raises(tmp_path):

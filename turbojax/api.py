@@ -238,14 +238,24 @@ class Optimizer:
         fit_every: int = 1,
         n_candidates: Optional[int] = None,
         max_cholesky_size: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
     ):
         """``max_cholesky_size`` mirrors the reference knob [R, SURVEY.md
         §5.6]: the reference switches to iterative (Lanczos) methods beyond
         it; the TPU-idiomatic equivalent is chunking the joint-TS/posterior
-        factorizations, so it maps to the TS chunk size here."""
+        factorizations, so it maps to the TS chunk size here.
+
+        ``checkpoint_path``/``checkpoint_every``: write the full optimizer
+        state (device carry + host history + RNG) every k tells; restore
+        with ``Optimizer.resume(path, ...)`` and continue deterministically
+        (SURVEY.md §5.4)."""
         if method not in ("bo", "turbo1"):
             raise ValueError("ask/tell supports methods 'bo' and 'turbo1'")
         self._ts_chunk = max_cholesky_size
+        self._ckpt_path = checkpoint_path
+        self._ckpt_every = checkpoint_every
+        self._n_tells = 0
         self.lb = np.asarray(lb, np.float32)
         self.ub = np.asarray(ub, np.float32)
         self.dim = len(self.lb)
@@ -353,6 +363,50 @@ class Optimizer:
                 self._carry = self._append(self._carry, jnp.asarray(x_unit), jnp.asarray(y))
         self._trace.append(self.best[1])
         self._pending = None
+        self._n_tells += 1
+        if self._ckpt_path and self._ckpt_every and self._n_tells % self._ckpt_every == 0:
+            self.save(self._ckpt_path)
+
+    # -- checkpoint / resume (SURVEY.md §5.4) --------------------------------
+
+    def save(self, path: str) -> None:
+        """Write the full optimizer state: device carry + key + host history."""
+        from turbojax import checkpoint as CK
+
+        state = {"carry": self._carry, "key": self._key}
+        CK.save_state(
+            path,
+            state,
+            meta={
+                "method": self.method,
+                "n_tells": self._n_tells,
+                "history_x": [x.tolist() for x in self._history_x],
+                "history_y": [y.tolist() for y in self._history_y],
+                "trace": [float(t) for t in self._trace],
+                "n_told": getattr(self, "_n_told", None),
+                "init_x": self._init_x.tolist() if hasattr(self, "_init_x") else None,
+            },
+        )
+
+    def restore(self, path: str) -> "Optimizer":
+        """Load state saved by ``save`` into this (identically-configured)
+        optimizer; continues deterministically (the RNG key is state)."""
+        from turbojax import checkpoint as CK
+
+        like = {"carry": self._carry, "key": self._key}
+        state = CK.load_state(path, like=like)
+        meta = CK.load_meta(path)
+        self._carry = state["carry"]
+        self._key = state["key"]
+        self._n_tells = meta["n_tells"]
+        self._history_x = [np.asarray(x, np.float32) for x in meta["history_x"]]
+        self._history_y = [np.asarray(y, np.float32) for y in meta["history_y"]]
+        self._trace = list(meta["trace"])
+        if meta.get("n_told") is not None:
+            self._n_told = meta["n_told"]
+        if meta.get("init_x") is not None:
+            self._init_x = np.asarray(meta["init_x"], np.float32)
+        return self
 
     def _build_bo_carry(self) -> BO.BOCarry:
         xs = np.concatenate([np.asarray(T.to_unit_cube(x, self.lb, self.ub)) for x in self._history_x])
