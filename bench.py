@@ -67,11 +67,15 @@ def bench_tpu(x, y, cands):
     for w in range(4):
         out = iteration(x_buf, y_buf, cands_j, jax.random.fold_in(key, 1000 + w))
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(REPS_TPU):
-        out = iteration(x_buf, y_buf, cands_j, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / REPS_TPU
+    # min over batches: robust to transient host/tunnel contention
+    times = []
+    for b in range(3):
+        t0 = time.perf_counter()
+        for i in range(REPS_TPU):
+            out = iteration(x_buf, y_buf, cands_j, jax.random.fold_in(key, b * REPS_TPU + i))
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / REPS_TPU)
+    return min(times)
 
 
 def bench_cpu_oracle(x, y, cands):
@@ -97,10 +101,12 @@ def bench_cpu_oracle(x, y, cands):
         return idx, ei
 
     iteration()  # warmup (BLAS thread spin-up)
-    t0 = time.perf_counter()
+    times = []
     for _ in range(REPS_CPU):
+        t0 = time.perf_counter()
         iteration()
-    return (time.perf_counter() - t0) / REPS_CPU
+        times.append(time.perf_counter() - t0)
+    return min(times)  # min: robust to host contention
 
 
 def main():

@@ -74,12 +74,15 @@ CONFIGS = {
         name="turbo1_ackley10",
         benchmark="ackley10",
         method="turbo1",
-        gp=GPConfig(kernel="matern52", fit_restarts=2, fit_maxiter=30),
+        gp=GPConfig(
+            kernel="matern52", fit_restarts=2, fit_optimizer="adam",
+            fit_maxiter=50, fit_maxiter_warm=25, fit_lr=0.1,
+        ),  # reference TuRBO trains with Adam [R, SURVEY.md §7.3.3]
         turbo=TurboConfig(
             n_init=20, max_evals=1000, batch_size=10,
             n_candidates=1000, ts_chunk=None, tr=TRConfig(),
         ),
-        note="single trust region, TS batches of 10",
+        note="single trust region, TS batches of 10, Adam MLL fit (reference parity)",
     ),
     # 5 — TuRBO-m (m=5) on the 60-D rover-style problem, N=2000 [B:11]
     "turbom5_rover60": BenchConfig(
@@ -87,7 +90,10 @@ CONFIGS = {
         benchmark="rover60",
         method="turbom",
         m=5,
-        gp=GPConfig(kernel="matern52", fit_restarts=2, fit_maxiter=30),
+        gp=GPConfig(
+            kernel="matern52", fit_restarts=2, fit_optimizer="adam",
+            fit_maxiter=50, fit_maxiter_warm=25, fit_lr=0.1,
+        ),
         turbo=TurboConfig(
             n_init=40, max_evals=2000, batch_size=10,
             n_candidates=5000, ts_chunk=1000, tr=TRConfig(),

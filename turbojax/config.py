@@ -48,6 +48,9 @@ class GPConfig:
     noise_bounds: Tuple[float, float] = (1e-4, 0.2)
     fit_optimizer: str = "lbfgs"
     fit_maxiter: int = 50
+    fit_maxiter_warm: Optional[int] = None  # smaller iteration budget when a
+    # warm start is supplied (the reference trains fewer steps on refits [R]);
+    # None = same budget as cold fits
     fit_linesearch_steps: int = 12  # zoom-linesearch cap; unbounded search
     # dominates fit wall-clock on TPU (measured: 18 s → ~6 s at N=2000)
     fit_lr: float = 0.1

@@ -235,7 +235,13 @@ def fit_gp(
 
     Restart 0 is the warm start (previous iteration's hypers [R]) when
     given, else the reference-parity defaults; the rest are random inits.
+    Warm-started fits optionally use the smaller ``fit_maxiter_warm``
+    iteration budget (reference refit practice [R]).
     """
+    if warm_start is not None and config.fit_maxiter_warm:
+        import dataclasses
+
+        config = dataclasses.replace(config, fit_maxiter=config.fit_maxiter_warm)
     dim = x_buf.shape[-1]
     dtype = y_buf.dtype
     y_std_buf, y_mean, y_sd = T.standardize(y_buf, mask)
