@@ -56,7 +56,12 @@ def run_config(name: str, seed: int, max_evals: int | None = None, m: int | None
         carry, tr = run_turbo1(key, b.fn, b.lb, b.ub, cfg.turbo, cfg.gp)
         trace, best = np.asarray(tr), float(carry.best_y)
     elif cfg.method == "turbom":
-        carries, tr = run_turbom(key, b.fn, b.lb, b.ub, cfg.turbo, cfg.gp, m=m or cfg.m)
+        # host_loop: one jitted step + host driver — the monolithic
+        # multi-hundred-iteration scan at (m=5, N=2000, n_cand=5000)
+        # overwhelms the compiler (docs/DESIGN.md); identical math.
+        carries, tr = run_turbom(
+            key, b.fn, b.lb, b.ub, cfg.turbo, cfg.gp, m=m or cfg.m, host_loop=True
+        )
         trace, best = np.asarray(tr), float(np.asarray(carries.best_y).min())
     else:
         raise ValueError(f"config {name} has no regret loop (method={cfg.method})")

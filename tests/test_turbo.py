@@ -91,6 +91,19 @@ def test_turbom_runs_and_improves(ackley_turbom):
     assert np.all(np.asarray(carries.n) >= 8)
 
 
+def test_turbom_host_loop_matches_scan():
+    """host_loop=True drives the identical jitted step — same trajectory as
+    the monolithic scan for the same key (docs/DESIGN.md)."""
+    b = B.get_benchmark("branin")
+    cfg = TurboConfig(n_init=4, max_evals=20, batch_size=2, n_candidates=16)
+    carries_s, trace_s = run_turbom(jax.random.key(3), b.fn, b.lb, b.ub, cfg, GCFG, m=2)
+    carries_h, trace_h = run_turbom(
+        jax.random.key(3), b.fn, b.lb, b.ub, cfg, GCFG, m=2, host_loop=True
+    )
+    np.testing.assert_allclose(np.asarray(trace_s), np.asarray(trace_h), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(carries_s.n), np.asarray(carries_h.n))
+
+
 def test_turbom_eval_accounting(ackley_turbom):
     carries, _ = ackley_turbom
     cfg_iters = (56 - 8 + 3) // 4

@@ -106,7 +106,6 @@ def global_allocate(ts_values: Array) -> Tuple[Array, Array]:
     return flat_idx // n_cand, flat_idx % n_cand
 
 
-@partial(jax.jit, static_argnames=("fn", "cfg", "config", "m", "n_loc"))
 def run_turbom(
     key: Array,
     fn: Callable[[Array], Array],
@@ -116,24 +115,72 @@ def run_turbom(
     config: GPConfig = GPConfig(),
     m: int = 5,
     n_loc: Optional[int] = None,
+    host_loop: bool = False,
 ):
-    """TuRBO-m as one compiled program: vmapped per-TR fits + global TS
-    allocation (config 5 [B:11]). Returns (carries, incumbent_trace); the
-    run-level best is ``trace[-1]`` / the min over ``carries.best_y``."""
+    """TuRBO-m: vmapped per-TR fits + global TS allocation (config 5
+    [B:11]). Returns (carries, incumbent_trace); the run-level best is
+    ``trace[-1]`` / the min over ``carries.best_y``.
+
+    ``host_loop=False`` compiles the whole run as one ``lax.scan`` program;
+    ``host_loop=True`` jits a single iteration and drives it from the host —
+    identical math, one dispatch per iteration, and a far smaller compiled
+    binary (use it for very large (m, N_loc, n_cand) products where the
+    monolithic scan program strains the compiler/worker)."""
+    if host_loop:
+        return _run_turbom_host(key, fn, tuple(lb), tuple(ub), cfg, config, m, n_loc)
+    return _run_turbom_scan(key, fn, tuple(lb), tuple(ub), cfg, config, m, n_loc)
+
+
+@partial(jax.jit, static_argnames=("fn", "cfg", "config", "m", "n_loc"))
+def _run_turbom_scan(
+    key: Array,
+    fn: Callable[[Array], Array],
+    lb: Tuple[float, ...],
+    ub: Tuple[float, ...],
+    cfg: TurboConfig,
+    config: GPConfig = GPConfig(),
+    m: int = 5,
+    n_loc: Optional[int] = None,
+):
+    dim = len(lb)
+    n_loc = n_loc or cfg.n_init + cfg.n_iters * cfg.batch_size
+    keys0 = jax.random.split(key, m)
+    carries0 = jax.vmap(lambda k: make_turbo_carry(k, dim, n_loc, cfg, config))(keys0)
+    step = _make_step(fn, lb, ub, cfg, config, m)
+    carries, trace = lax.scan(lambda c, _: step(c), carries0, None, length=cfg.n_iters)
+    return carries, trace
+
+
+def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc):
+    import numpy as np
+
+    dim = len(lb)
+    n_loc = n_loc or cfg.n_init + cfg.n_iters * cfg.batch_size
+    keys0 = jax.random.split(key, m)
+    carries = jax.jit(
+        jax.vmap(lambda k: make_turbo_carry(k, dim, n_loc, cfg, config))
+    )(keys0)
+    step = jax.jit(_make_step(fn, lb, ub, cfg, config, m))
+    trace = []
+    for _ in range(cfg.n_iters):
+        carries, best = step(carries)
+        trace.append(best)
+    return carries, jnp.asarray(np.asarray(jax.device_get(trace)))
+
+
+def _make_step(fn, lb, ub, cfg: TurboConfig, config: GPConfig, m: int):
+    """One TuRBO-m iteration over all m TRs (shared by the scan and
+    host-loop drivers; also the unit the sharded path parallels)."""
     dim = len(lb)
     lb_a = jnp.asarray(lb, jnp.float32)
     ub_a = jnp.asarray(ub, jnp.float32)
     q = cfg.batch_size
     n_cand = cfg.n_candidates or S.n_candidates(dim)
-    n_loc = n_loc or cfg.n_init + cfg.n_iters * q
     fail_tol = cfg.tr.resolved_fail_tol(dim, q)
-
-    keys0 = jax.random.split(key, m)
-    carries0 = jax.vmap(lambda k: make_turbo_carry(k, dim, n_loc, cfg, config))(keys0)
 
     from turbojax.trust_region import turbo_absorb  # local import avoids cycle at module load
 
-    def step(carries: TurboCarry, _):
+    def step(carries: TurboCarry):
         k_step = jax.random.fold_in(carries.key[0], 0)
         k_prop, k_restart = jax.random.split(k_step)
         prop_keys = jax.random.split(k_prop, m)
@@ -161,5 +208,4 @@ def run_turbom(
 
         return carries, jnp.min(carries.best_y)
 
-    carries, trace = lax.scan(step, carries0, None, length=cfg.n_iters)
-    return carries, trace
+    return step
