@@ -273,9 +273,15 @@ class Optimizer:
                 n_candidates=n_candidates, fit_every=fit_every, tr=tr_config,
                 ts_chunk=self._ts_chunk,
             )
-            n_loc = n_init + self.cfg.n_iters * batch_size
+            self._n_loc_final = n_init + self.cfg.n_iters * batch_size
+            # bucketed buffer growth (docs/DESIGN.md): start small, double as
+            # history fills; the jitted propose/absorb retrace per bucket
+            cap = 32
+            while cap < max(2 * batch_size, n_init + batch_size):
+                cap *= 2
+            cap = min(cap, self._n_loc_final)
             self._fail_tol = tr_config.resolved_fail_tol(self.dim, batch_size)
-            self._carry = TR.make_turbo_carry(self._next_key(), self.dim, n_loc, self.cfg, gp_config)
+            self._carry = TR.make_turbo_carry(self._next_key(), self.dim, cap, self.cfg, gp_config)
             self._propose = jax.jit(
                 lambda c, k: TR.turbo_propose(c, k, self.cfg, self.gp_config)
             )
@@ -350,6 +356,10 @@ class Optimizer:
         self._history_y.append(y)
 
         if self.method == "turbo1":
+            cap = self._carry.x_buf.shape[0]
+            if int(self._carry.n) + x.shape[0] > cap and cap < self._n_loc_final:
+                new_cap = min(max(cap * 2, int(self._carry.n) + x.shape[0]), self._n_loc_final)
+                self._carry = TR.grow_carry(self._carry, new_cap)
             in_search = self._pending[1] if self._pending is not None else True
             self._carry = self._absorb(
                 self._carry, jnp.asarray(x_unit), jnp.asarray(y),

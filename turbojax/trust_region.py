@@ -135,6 +135,19 @@ def _fresh_restart(carry: TurboCarry, key: Array, dim: int, stream_len: int, tr_
     )
 
 
+def grow_carry(carry: TurboCarry, new_cap: int) -> TurboCarry:
+    """Zero-pad one TR's history buffers to a larger capacity (bucketed
+    growth, docs/DESIGN.md §bucketing; identity/zero padding keeps the
+    masked math exact — SURVEY.md §7.3.1)."""
+    old, dim = carry.x_buf.shape
+    pad_x = jnp.zeros((new_cap - old, dim), carry.x_buf.dtype)
+    pad_y = jnp.zeros((new_cap - old,), carry.y_buf.dtype)
+    return carry._replace(
+        x_buf=jnp.concatenate([carry.x_buf, pad_x], axis=0),
+        y_buf=jnp.concatenate([carry.y_buf, pad_y], axis=0),
+    )
+
+
 def make_turbo_carry(key: Array, dim: int, n_loc: int, cfg: TurboConfig, config: GPConfig, dtype=jnp.float32) -> TurboCarry:
     """Initial carry: empty buffers, init phase about to stream its LHS."""
     k_s, k_loop = jax.random.split(key)
