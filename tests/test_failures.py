@@ -1,0 +1,56 @@
+"""Objective-failure handling tests (SURVEY.md §5.3): NaN/inf y values are
+imputed inside the jitted loops; buffers never hold non-finites."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turbojax import transforms as T
+from turbojax.bo import BOConfig, run_bo
+from turbojax.config import GPConfig
+from turbojax.trust_region import TurboConfig, run_turbo1
+
+GCFG = GPConfig(fit_restarts=2, fit_maxiter=10)
+
+
+def test_impute_failures_unit():
+    y_buf = jnp.asarray([1.0, 5.0, 0.0, 0.0])
+    mask = jnp.asarray([True, True, False, False])
+    y_new = jnp.asarray([2.0, jnp.nan, jnp.inf])
+    out = np.asarray(T.impute_failures(y_new, y_buf, mask))
+    assert out[0] == 2.0
+    assert np.isfinite(out).all()
+    penalty = 5.0 + 3.0 * 6.0
+    np.testing.assert_allclose(out[1:], penalty)
+
+
+def test_impute_failures_no_history():
+    out = np.asarray(
+        T.impute_failures(
+            jnp.asarray([jnp.nan, jnp.nan]), jnp.zeros((1,)), jnp.zeros((1,), bool)
+        )
+    )
+    assert np.isfinite(out).all()
+
+
+def _spiky(x):
+    """Objective that returns NaN in a subregion (simulated sim failure)."""
+    base = jnp.sum((x - 0.4) ** 2, axis=-1)
+    return jnp.where(x[:, 0] > 0.8, jnp.nan, base)
+
+
+def test_run_bo_survives_nan_objective():
+    cfg = BOConfig(n_init=6, max_evals=18, batch_size=2, acq="ei", n_candidates=32, fit_every=2)
+    res = run_bo(jax.random.key(0), _spiky, (0.0,) * 3, (1.0,) * 3, cfg, GCFG)
+    y = np.asarray(res.y_buf[: int(res.n)])
+    assert np.isfinite(y).all()
+    assert np.isfinite(float(res.best_y))
+    assert float(res.best_y) < 1.0  # still optimizes the finite region
+
+
+def test_run_turbo1_survives_nan_objective():
+    cfg = TurboConfig(n_init=6, max_evals=30, batch_size=3, n_candidates=32)
+    carry, trace = run_turbo1(jax.random.key(0), _spiky, (0.0,) * 3, (1.0,) * 3, cfg, GCFG)
+    assert np.isfinite(np.asarray(trace)).all()
+    y = np.asarray(carry.y_buf[: int(carry.n)])
+    assert np.isfinite(y).all()

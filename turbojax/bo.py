@@ -200,6 +200,7 @@ def run_bo(
     # -- init design (LHS [R]) + first fit/factorization
     x0 = S.latin_hypercube(k_init, bo.n_init, dim)
     y0 = fn(T.from_unit_cube(x0, lb_a, ub_a)).astype(x0.dtype)
+    y0 = T.impute_failures(y0, jnp.zeros((1,), y0.dtype), jnp.zeros((1,), bool))
     x_buf = jnp.zeros((n_max, dim), x0.dtype).at[: bo.n_init].set(x0)
     y_buf = jnp.zeros((n_max,), y0.dtype).at[: bo.n_init].set(y0)
     n = jnp.asarray(bo.n_init)
@@ -223,6 +224,7 @@ def run_bo(
             carry = lax.cond(do_fit, lambda c: _refit_carry(c, config, k_fit), lambda c: c, carry)
         x_unit = _suggest(carry, config, bo, k_it)
         y_new = fn(T.from_unit_cube(x_unit, lb_a, ub_a)).astype(x_unit.dtype)
+        y_new = T.impute_failures(y_new, carry.y_buf, L.row_mask(n_max, carry.n))
         carry = _append_batch(carry, x_unit, y_new, config, chol_mode)
         mask_now = L.row_mask(n_max, carry.n)
         best_now = jnp.min(jnp.where(mask_now, carry.y_buf, jnp.inf))

@@ -67,6 +67,21 @@ def unstandardize_var(var_std: Array, std: Array) -> Array:
     return var_std * std**2
 
 
+def impute_failures(y_new: Array, y_buf: Array, mask: Array) -> Array:
+    """Objective-failure handling (SURVEY.md §5.3), jit-safe: replace
+    NaN/inf objective values with a large finite penalty derived from the
+    worst observation so far, so masked buffers never hold non-finites
+    (the §7.3.1 invariant) and the surrogate keeps a usable landscape."""
+    finite_new = jnp.isfinite(y_new)
+    known = jnp.where(mask, y_buf, -jnp.inf)
+    worst_hist = jnp.max(known)
+    worst_new = jnp.max(jnp.where(finite_new, y_new, -jnp.inf))
+    worst = jnp.maximum(worst_hist, worst_new)
+    worst = jnp.where(jnp.isfinite(worst), worst, jnp.zeros_like(worst))
+    penalty = worst + 3.0 * (jnp.abs(worst) + 1.0)
+    return jnp.where(finite_new, y_new, penalty)
+
+
 # --------------------------------------------------------------------------
 # Softplus box constraints for hyperparameters
 

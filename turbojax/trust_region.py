@@ -305,6 +305,7 @@ def run_turbo1(
         carry = carry._replace(key=k_next)
         carry, xs, in_search = turbo_propose(carry, k_prop, cfg, config)
         ys = fn(T.from_unit_cube(xs, lb_a, ub_a)).astype(xs.dtype)
+        ys = T.impute_failures(ys, carry.y_buf, L.row_mask(n_loc, carry.n))
         accept = jnp.ones((cfg.batch_size,), jnp.bool_)
         carry = turbo_absorb(carry, xs, ys, accept, in_search, cfg, config, fail_tol, k_restart)
         return carry, carry.best_y

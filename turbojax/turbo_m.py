@@ -223,6 +223,9 @@ def _make_step(fn, lb, ub, cfg: TurboConfig, config: GPConfig, m: int):
         tr_idx, cand_idx = global_allocate(values)  # (q,), (q,)
         x_sel = cands[tr_idx, cand_idx]  # (q, d)
         y_sel = fn(T.from_unit_cube(x_sel, lb_a, ub_a)).astype(x_sel.dtype)
+        # §5.3: impute NaN/inf objective values against the global history
+        flat_mask = (jnp.arange(carries.y_buf.shape[1])[None, :] < carries.n[:, None]).reshape(-1)
+        y_sel = T.impute_failures(y_sel, carries.y_buf.reshape(-1), flat_mask)
 
         in_search = carries.n >= cfg.n_init  # (m,)
         accept = tr_idx[None, :] == jnp.arange(m)[:, None]  # (m, q)
