@@ -50,6 +50,10 @@ def run_config(name: str, seed: int, max_evals: int | None = None, m: int | None
         kwargs = {}
         if cfg.bo.fit_every == 0:
             kwargs["fixed_params"] = G.default_params(b.dim, cfg.gp)
+        # L-BFGS refits over many iterations make the monolithic scan
+        # program too large for the compiler — drive from the host instead
+        if cfg.bo.fit_every > 0 and cfg.bo.n_iters > 40:
+            kwargs["host_loop"] = True
         res = run_bo(key, b.fn, b.lb, b.ub, cfg.bo, cfg.gp, **kwargs)
         trace, best = np.asarray(res.incumbent_trace), float(res.best_y)
     elif cfg.method == "turbo1":

@@ -62,6 +62,18 @@ def test_bo_ts_and_lcb_acquisitions():
         assert float(res.best_y) < 10.0
 
 
+def test_bo_host_loop_matches_scan():
+    """host_loop=True drives the identical jitted step — same trajectory."""
+    b = B.get_benchmark("branin")
+    cfg = BOConfig(n_init=5, max_evals=13, batch_size=2, acq="ei", n_candidates=32, fit_every=2)
+    r1 = run_bo(jax.random.key(9), b.fn, b.lb, b.ub, cfg, GCFG)
+    r2 = run_bo(jax.random.key(9), b.fn, b.lb, b.ub, cfg, GCFG, host_loop=True)
+    np.testing.assert_allclose(
+        np.asarray(r1.incumbent_trace), np.asarray(r2.incumbent_trace), rtol=1e-5
+    )
+    assert int(r1.n) == int(r2.n)
+
+
 def test_bo_incremental_chol_consistency():
     """After the scan, the carried factor matches full refactorization of the
     final buffer (validates chol_append inside the real loop)."""

@@ -171,7 +171,6 @@ def _suggest(
     return cands[top_idx]
 
 
-@partial(jax.jit, static_argnames=("fn", "bo", "config", "n_max"))
 def run_bo(
     key: Array,
     fn: Callable[[Array], Array],
@@ -181,8 +180,30 @@ def run_bo(
     config: GPConfig = GPConfig(),
     n_max: Optional[int] = None,
     fixed_params: Optional[G.GPParams] = None,
+    host_loop: bool = False,
 ) -> BOResult:
-    """Run the whole BO loop on-device as one compiled program [B:5].
+    """Run the BO loop — as one compiled ``lax.scan`` program [B:5]
+    (default) or with a single jitted step driven from the host
+    (``host_loop=True``; identical math, much smaller compiled binary —
+    use it when per-iteration refits make the monolithic scan program too
+    large for the compiler, e.g. L-BFGS fits over 100 iterations)."""
+    if host_loop:
+        return _run_bo_host(key, fn, tuple(lb), tuple(ub), bo, config, n_max, fixed_params)
+    return _run_bo_scan(key, fn, tuple(lb), tuple(ub), bo, config, n_max, fixed_params)
+
+
+@partial(jax.jit, static_argnames=("fn", "bo", "config", "n_max"))
+def _run_bo_scan(
+    key: Array,
+    fn: Callable[[Array], Array],
+    lb: Tuple[float, ...],
+    ub: Tuple[float, ...],
+    bo: BOConfig,
+    config: GPConfig = GPConfig(),
+    n_max: Optional[int] = None,
+    fixed_params: Optional[G.GPParams] = None,
+) -> BOResult:
+    """The whole loop as one device program.
 
     Args:
       fn: jnp-expressible objective on the original box, (q, d) -> (q,).
@@ -190,14 +211,36 @@ def run_bo(
       fixed_params: when given with ``bo.fit_every == 0``, hypers are pinned
         (config 1's fixed-hyperparameter RBF GP [B:7]).
     """
+    n_max = n_max or bo.n_init + bo.n_iters * bo.batch_size
+    carry = _bo_init(key, fn, lb, ub, bo, config, n_max, fixed_params)
+    step = _make_bo_step(fn, lb, ub, bo, config, n_max)
+    carry, trace = lax.scan(step, carry, jnp.arange(bo.n_iters))
+    return _bo_result(carry, lb, ub, trace, n_max)
+
+
+def _run_bo_host(key, fn, lb, ub, bo, config, n_max, fixed_params) -> BOResult:
+    import numpy as np
+
+    n_max = n_max or bo.n_init + bo.n_iters * bo.batch_size
+    init = jax.jit(
+        lambda k: _bo_init(k, fn, lb, ub, bo, config, n_max, fixed_params)
+    )
+    carry = init(key)
+    step = jax.jit(_make_bo_step(fn, lb, ub, bo, config, n_max))
+    trace = []
+    for it in range(bo.n_iters):
+        carry, best = step(carry, jnp.asarray(it))
+        trace.append(best)
+    trace_a = jnp.asarray(np.asarray(jax.device_get(trace)))
+    return jax.jit(lambda c, t: _bo_result(c, lb, ub, t, n_max))(carry, trace_a)
+
+
+def _bo_init(key, fn, lb, ub, bo: BOConfig, config: GPConfig, n_max: int, fixed_params) -> BOCarry:
+    """Init design (LHS [R]) + first fit/factorization."""
     dim = len(lb)
     lb_a = jnp.asarray(lb, jnp.float32)
     ub_a = jnp.asarray(ub, jnp.float32)
-    n_max = n_max or bo.n_init + bo.n_iters * bo.batch_size
-    chol_mode = bo.resolved_chol_mode()
     k_init, k_fit0, k_loop = jax.random.split(key, 3)
-
-    # -- init design (LHS [R]) + first fit/factorization
     x0 = S.latin_hypercube(k_init, bo.n_init, dim)
     y0 = fn(T.from_unit_cube(x0, lb_a, ub_a)).astype(x0.dtype)
     y0 = T.impute_failures(y0, jnp.zeros((1,), y0.dtype), jnp.zeros((1,), bool))
@@ -211,10 +254,16 @@ def run_bo(
         state0 = G.make_gp_state(x_buf, y_buf, mask, raw0, config)
     else:
         state0 = G.fit_gp(k_fit0, x_buf, y_buf, mask, config, warm_start=fixed_params)
-    carry = BOCarry(
+    return BOCarry(
         x_buf=x_buf, y_buf=y_buf, n=n, chol=state0.chol, raw=state0.raw,
         y_mean=state0.y_mean, y_std=state0.y_std, key=k_loop,
     )
+
+
+def _make_bo_step(fn, lb, ub, bo: BOConfig, config: GPConfig, n_max: int):
+    lb_a = jnp.asarray(lb, jnp.float32)
+    ub_a = jnp.asarray(ub, jnp.float32)
+    chol_mode = bo.resolved_chol_mode()
 
     def step(carry: BOCarry, it: Array):
         k_it, k_fit, k_next = jax.random.split(carry.key, 3)
@@ -230,8 +279,12 @@ def run_bo(
         best_now = jnp.min(jnp.where(mask_now, carry.y_buf, jnp.inf))
         return carry, best_now
 
-    carry, trace = lax.scan(step, carry, jnp.arange(bo.n_iters))
+    return step
 
+
+def _bo_result(carry: BOCarry, lb, ub, trace: Array, n_max: int) -> BOResult:
+    lb_a = jnp.asarray(lb, jnp.float32)
+    ub_a = jnp.asarray(ub, jnp.float32)
     mask_fin = L.row_mask(n_max, carry.n)
     best_idx = jnp.argmin(jnp.where(mask_fin, carry.y_buf, jnp.inf))
     return BOResult(
