@@ -51,11 +51,16 @@ def optimize(
     tr_config: TRConfig = TRConfig(),
     fit_every: int = 1,
     n_candidates: Optional[int] = None,
+    host_loop: Optional[bool] = None,
 ) -> Result:
     """One-shot optimization of a jnp-expressible objective, fully on device.
 
     ``method`` ∈ {"bo", "turbo1", "turbom"} (SURVEY.md C15/C17/C18).
     The objective must accept (q, d) arrays in the original box.
+
+    ``host_loop=None`` auto-selects: long runs with per-iteration refits
+    compile one jitted step and loop on the host (identical math; the
+    monolithic scan program otherwise strains the compiler — docs/DESIGN.md).
     """
     lb_t, ub_t = tuple(float(v) for v in lb), tuple(float(v) for v in ub)
     dim = len(lb_t)
@@ -69,7 +74,8 @@ def optimize(
             fit_every=fit_every,
             n_candidates=n_candidates or min(100 * dim, 5000),
         )
-        res = BO.run_bo(key, fn, lb_t, ub_t, cfg, gp_config)
+        hl = host_loop if host_loop is not None else (fit_every > 0 and cfg.n_iters > 40)
+        res = BO.run_bo(key, fn, lb_t, ub_t, cfg, gp_config, host_loop=hl)
         n = int(res.n)
         return Result(
             best_x=np.asarray(res.best_x), best_y=float(res.best_y),
@@ -95,7 +101,8 @@ def optimize(
     if method == "turbom":
         from turbojax.turbo_m import run_turbom
 
-        carries, trace = run_turbom(key, fn, lb_t, ub_t, cfg, gp_config, m=m)
+        hl = host_loop if host_loop is not None else cfg.n_iters > 40
+        carries, trace = run_turbom(key, fn, lb_t, ub_t, cfg, gp_config, m=m, host_loop=hl)
         best_tr = int(jnp.argmin(carries.best_y))
         lb_a, ub_a = np.asarray(lb_t), np.asarray(ub_t)
         xs, ys = [], []
