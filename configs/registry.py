@@ -42,6 +42,7 @@ CONFIGS = {
             n_init=10, max_evals=60, batch_size=1, acq="ei",
             n_candidates=2000, fit_every=0,  # fixed hypers -> pure incremental chol
             chol_mode="incremental",  # reference-parity path [B:7]
+            local_frac=0.0,  # pure global candidates (reference behavior [R])
         ),
         note="incremental Cholesky append per observation; whole loop one lax.scan",
     ),

@@ -51,6 +51,11 @@ class BOConfig:
     fit_every: int = 1  # 0 = never refit (fixed hypers, pure incremental path)
     kappa: float = 2.0
     xi: float = 0.0
+    local_frac: float = 0.3  # fraction of candidates drawn around the
+    # incumbent (Gaussian, ``local_sigma``) — global QMC alone caps the
+    # achievable precision at the candidate spacing (~(1/n)^(1/d));
+    # 0 recovers the pure-global reference behavior [R]
+    local_sigma: float = 0.05
     ts_chunk: Optional[int] = None
     ts_sampler: str = "exact"  # "exact" (chunked joint chol [B:9]) | "rff"
     rff_features: int = 1024
@@ -149,8 +154,16 @@ def _suggest(
     """One acquisition maximization over a fresh global candidate set
     (call stack SURVEY.md §3.3); returns (q, d) unit-cube points."""
     dim = carry.x_buf.shape[-1]
-    kc, kt = jax.random.split(key)
-    cands = S.sobol_sample(kc, dim, bo.n_candidates, dtype=carry.x_buf.dtype)
+    kc, kl, kt = jax.random.split(key, 3)
+    n_local = int(bo.local_frac * bo.n_candidates)
+    cands = S.sobol_sample(kc, dim, bo.n_candidates - n_local, dtype=carry.x_buf.dtype)
+    if n_local:
+        mask_n = L.row_mask(carry.y_buf.shape[0], carry.n)
+        inc = carry.x_buf[jnp.argmin(jnp.where(mask_n, carry.y_buf, jnp.inf))]
+        local = inc + bo.local_sigma * jax.random.normal(
+            kl, (n_local, dim), carry.x_buf.dtype
+        )
+        cands = jnp.concatenate([cands, jnp.clip(local, 0.0, 1.0)], axis=0)
     state = _state_from_carry(carry, config)
     if bo.acq == "ts":
         if bo.ts_sampler == "rff":
