@@ -56,6 +56,33 @@ def test_regret_parity_vs_oracle(branin_regrets):
     assert np.median(oracle) < 10 * max(np.median(ours), 0.05) + 0.5
 
 
+def test_turbo1_regret_parity_vs_oracle():
+    """Config-4 family parity (BASELINE.md secondary metric): turbojax
+    TuRBO-1 lands in the same Ackley-10D regret regime as the independent
+    numpy TuRBO-1 oracle at equal (reduced) budget."""
+    from oracle.numpy_turbo import run_turbo1_oracle
+    from turbojax.trust_region import TurboConfig, run_turbo1
+
+    b = B.get_benchmark("ackley10")
+    fn_np = lambda x: np.asarray(b.fn(x))
+    gcfg = GPConfig(fit_restarts=2, fit_maxiter=20)
+    cfg = TurboConfig(n_init=10, max_evals=100, batch_size=5, n_candidates=200)
+
+    ours, oracle = [], []
+    for s in [0, 1]:
+        carry, _ = run_turbo1(jax.random.key(s), b.fn, b.lb, b.ub, cfg, gcfg)
+        ours.append(float(carry.best_y))
+        _, by, _ = run_turbo1_oracle(
+            fn_np, b.lb, b.ub, n_init=10, max_evals=100, batch_size=5,
+            n_candidates=200, seed=s,
+        )
+        oracle.append(by)
+    # same regime (Ackley-10 at 100 evals: both well under random ≈ 13–15,
+    # and within an additive band of each other)
+    assert np.median(ours) < 13.0 and np.median(oracle) < 13.0
+    assert abs(np.median(ours) - np.median(oracle)) < 6.0
+
+
 def test_both_beat_random_search(branin_regrets, rng):
     ours, oracle = branin_regrets
     b = B.get_benchmark("branin")

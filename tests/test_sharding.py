@@ -84,6 +84,36 @@ def test_sharded_thompson_mesh1_matches_marginals(rng, key):
     assert pts.shape == (3, 2)
 
 
+def test_sharded_turbom_step_runs(key):
+    """One TR-axis-sharded TuRBO-m step on the 4-device mesh (C18/EP analog;
+    the path dryrun_multichip exercises, asserted here in CI)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from turbojax.config import GPConfig as GC
+    from turbojax.trust_region import TurboConfig, make_turbo_carry
+
+    n_dev = 4
+    mesh = PAR.make_mesh(n_dev, axis="tr")
+    d, q, n_cand, n_loc = 3, 2, 16, 12
+    cfg = TurboConfig(n_init=4, max_evals=12, batch_size=q, n_candidates=n_cand)
+    config = GC(fit_restarts=2, fit_maxiter=5)
+    keys = jax.random.split(key, n_dev)
+    carries = jax.vmap(lambda k: make_turbo_carry(k, d, n_loc, cfg, config))(keys)
+    carries = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("tr", *([None] * (a.ndim - 1))))),
+        carries,
+    )
+    fn = lambda x: jnp.sum((x - 0.3) ** 2, axis=-1)
+    fail_tol = cfg.tr.resolved_fail_tol(d, q)
+    carries, best = PAR.sharded_turbom_step(
+        carries, jax.random.key(1), fn, jnp.zeros(d), jnp.ones(d), cfg, config,
+        mesh, n_cand, fail_tol,
+    )
+    assert np.isfinite(float(best))
+    assert int(np.asarray(carries.n).sum()) == q  # exactly one batch landed
+
+
 @pytest.mark.parametrize("n_dev", [2, 4])
 def test_sharded_fit_runs_and_matches_quality(rng, key, n_dev):
     """Restart-sharded fit (C8) reaches the same-or-better MLL as vmap-only."""

@@ -15,15 +15,19 @@ capability contract is BASELINE.json — citations in docstrings use the
 
 from turbojax import acq as acq
 from turbojax import benchmarks as benchmarks
+from turbojax import checkpoint as checkpoint
+from turbojax import debug as debug
 from turbojax import kernels as kernels
 from turbojax import linalg as linalg
+from turbojax import parallel as parallel
 from turbojax import sampling as sampling
 from turbojax import transforms as transforms
-from turbojax.api import Optimizer, optimize
+from turbojax.api import Optimizer, Turbo1, TurboM, optimize
 from turbojax.bo import BOConfig, run_bo
 from turbojax.config import GPConfig, TRConfig
 from turbojax.gp import GPParams, GPState, fit_gp, gp_posterior, make_gp_state
-from turbojax.trust_region import TRState, run_turbo1
+from turbojax.runlog import RunLog
+from turbojax.trust_region import TRState, TurboConfig, run_turbo1
 from turbojax.turbo_m import run_turbom
 
 __version__ = "0.1.0"
@@ -34,16 +38,23 @@ __all__ = [
     "GPParams",
     "GPState",
     "Optimizer",
+    "RunLog",
     "TRConfig",
     "TRState",
+    "Turbo1",
+    "TurboConfig",
+    "TurboM",
     "acq",
     "benchmarks",
+    "checkpoint",
+    "debug",
     "fit_gp",
     "gp_posterior",
     "kernels",
     "linalg",
     "make_gp_state",
     "optimize",
+    "parallel",
     "run_bo",
     "run_turbo1",
     "run_turbom",
