@@ -57,6 +57,32 @@ def test_distributed_logdet(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-10)
 
 
+def test_distributed_posterior_exact(rng):
+    """Train-axis-sharded posterior == dense oracle posterior (rtol 1e-5 —
+    the [B:5] parity bar, now at N ≫ chip layout)."""
+    n, m = 128, 9
+    x = rng.rand(n, 6)
+    y = np.sin(3 * x[:, 0])
+    xs = rng.rand(m, 6)
+    ls, s, noise = np.full(6, 0.5), 1.0, 1e-2
+
+    k = onp.kernel_matrix("matern52", x, x, ls, s)
+    k[np.diag_indices(n)] += noise
+    k_cross = onp.kernel_matrix("matern52", x, xs, ls, s)
+
+    mesh = PAR.make_mesh(4, axis="rows")
+    l_dist = DL.distributed_cholesky(jnp.asarray(k), mesh, panel=16)
+    alpha = DL.distributed_cho_solve(l_dist, jnp.asarray(y)[:, None], mesh, panel=16)
+    mu, var = DL.distributed_gp_posterior(
+        l_dist, alpha, jnp.asarray(k_cross), jnp.full((m,), s), mesh, panel=16
+    )
+
+    gp = onp.NumpyGP("matern52", ls, s, noise).fit(x, y)
+    mu_ref, var_ref = gp.posterior(xs)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), var_ref, rtol=1e-5, atol=1e-10)
+
+
 def test_distributed_gp_mll_pipeline(rng):
     """End-to-end large-N GP fit core on the mesh: chol + alpha + logdet
     reproduce the dense MLL — the N ≫ chip scaling path."""

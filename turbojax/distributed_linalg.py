@@ -184,6 +184,49 @@ def distributed_cho_solve(l_mat: Array, b: Array, mesh: Mesh, panel: int = 128) 
     )
 
 
+def distributed_gp_posterior(
+    l_mat: Array,
+    alpha: Array,
+    k_cross: Array,
+    k_diag: Array,
+    mesh: Mesh,
+    panel: int = 128,
+    mean: float | Array = 0.0,
+) -> Tuple[Array, Array]:
+    """Posterior mean/variance with the **training axis** row-sharded
+    (the N ≫ chip regime; candidate-axis sharding for huge candidate sets
+    is the orthogonal `parallel.sharded_acq_topq` path).
+
+      μ* = m + K*ᵀα               — local partial GEMM + psum
+      σ*² = k** − Σ_rows v²,  v = L⁻¹K*  — distributed forward solve,
+                                    then a row-block reduction via psum.
+
+    Args:
+      l_mat: (N, N) distributed factor (from ``distributed_cholesky``).
+      alpha: (N, 1) or (N,) distributed solve of the residual.
+      k_cross: (N, m) cross-covariance, row-sharded like L.
+      k_diag: (m,) prior variances k(x*, x*) (replicated).
+    """
+    axis = mesh.axis_names[0]
+    a2 = alpha if alpha.ndim == 2 else alpha[:, None]
+    v = distributed_solve_lower(l_mat, k_cross, mesh, panel)  # (N, m) sharded
+
+    def local(k_cross_loc: Array, v_loc: Array, a_loc: Array):
+        mu_part = lax.psum(k_cross_loc.T @ a_loc[:, 0], axis)
+        vsq_part = lax.psum(jnp.sum(v_loc * v_loc, axis=0), axis)
+        return mu_part, vsq_part
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    mu_dot, vsq = fn(k_cross, v, a2)
+    mu = mean + mu_dot
+    var = jnp.maximum(k_diag - vsq, 1e-12)
+    return mu, var
+
+
 def distributed_logdet_from_chol(l_mat: Array, mesh: Mesh) -> Array:
     """log|K| = 2·Σ log diag(L), row-sharded diag via psum."""
     axis = mesh.axis_names[0]
