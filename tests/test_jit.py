@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from turbojax import benchmarks as B
 from turbojax import gp as G
 from turbojax import linalg as L
-from turbojax.bo import BOConfig, run_bo
+from turbojax.bo import BOConfig, _run_bo_scan, run_bo
 from turbojax.config import GPConfig
 from turbojax.trust_region import TurboConfig, run_turbo1
 
@@ -18,11 +18,11 @@ GCFG = GPConfig(kernel="rbf", fit_restarts=2, fit_maxiter=10)
 def test_run_bo_traces_once():
     b = B.get_benchmark("branin")
     cfg = BOConfig(n_init=4, max_evals=8, batch_size=1, acq="ei", n_candidates=32, fit_every=2)
-    before = run_bo._cache_size()
+    before = _run_bo_scan._cache_size()
     run_bo(jax.random.key(0), b.fn, b.lb, b.ub, cfg, GCFG)
-    after_first = run_bo._cache_size()
+    after_first = _run_bo_scan._cache_size()
     run_bo(jax.random.key(1), b.fn, b.lb, b.ub, cfg, GCFG)  # new key: no retrace
-    assert run_bo._cache_size() == after_first
+    assert _run_bo_scan._cache_size() == after_first
     assert after_first == before + 1
 
 

@@ -194,14 +194,17 @@ def run_bo(
     n_max: Optional[int] = None,
     fixed_params: Optional[G.GPParams] = None,
     host_loop: bool = False,
+    on_iteration=None,
 ) -> BOResult:
     """Run the BO loop — as one compiled ``lax.scan`` program [B:5]
     (default) or with a single jitted step driven from the host
     (``host_loop=True``; identical math, much smaller compiled binary —
     use it when per-iteration refits make the monolithic scan program too
-    large for the compiler, e.g. L-BFGS fits over 100 iterations)."""
+    large for the compiler, e.g. L-BFGS fits over 100 iterations).
+    ``on_iteration`` (host mode only): per-iteration ``(it, best)`` logging
+    callback (SURVEY.md §5.5)."""
     if host_loop:
-        return _run_bo_host(key, fn, tuple(lb), tuple(ub), bo, config, n_max, fixed_params)
+        return _run_bo_host(key, fn, tuple(lb), tuple(ub), bo, config, n_max, fixed_params, on_iteration)
     return _run_bo_scan(key, fn, tuple(lb), tuple(ub), bo, config, n_max, fixed_params)
 
 
@@ -231,7 +234,7 @@ def _run_bo_scan(
     return _bo_result(carry, lb, ub, trace, n_max)
 
 
-def _run_bo_host(key, fn, lb, ub, bo, config, n_max, fixed_params) -> BOResult:
+def _run_bo_host(key, fn, lb, ub, bo, config, n_max, fixed_params, on_iteration=None) -> BOResult:
     import numpy as np
 
     n_max = n_max or bo.n_init + bo.n_iters * bo.batch_size
@@ -244,6 +247,8 @@ def _run_bo_host(key, fn, lb, ub, bo, config, n_max, fixed_params) -> BOResult:
     for it in range(bo.n_iters):
         carry, best = step(carry, jnp.asarray(it))
         trace.append(best)
+        if on_iteration is not None:
+            on_iteration(it, float(best))
     trace_a = jnp.asarray(np.asarray(jax.device_get(trace)))
     return jax.jit(lambda c, t: _bo_result(c, lb, ub, t, n_max))(carry, trace_a)
 

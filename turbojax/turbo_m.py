@@ -57,7 +57,6 @@ def _tr_proposals_and_values(
     q = cfg.batch_size
     in_search = carry.n >= cfg.n_init
     k_fit, k_cand, k_ts = jax.random.split(key, 3)
-    neg_inf = jnp.asarray(-jnp.inf, carry.x_buf.dtype)
 
     def init_branch(c: TurboCarry):
         stream_len = c.init_stream.shape[0]
@@ -65,9 +64,15 @@ def _tr_proposals_and_values(
         reps = -(-n_cand // stream_len)
         cands = jnp.tile(c.init_stream, (reps, 1))[:n_cand]
         col = jnp.arange(n_cand)
-        # force-select slots start..start+q-1: row j gets −∞ at exactly one slot
+        # force-select slots start..start+q-1: row j gets a huge negative
+        # value at exactly one slot. The magnitude is randomized per TR/row
+        # so that when several TRs are in their init phase the allocator's
+        # argmin spreads the q evaluations across them instead of always
+        # feeding the lowest TR id (tie-break starvation).
         want = (col[None, :] - start) == jnp.arange(q)[:, None]
-        values = jnp.where(want, neg_inf, jnp.asarray(jnp.inf, c.x_buf.dtype))
+        jitter = jax.random.uniform(k_ts, (q, 1), c.x_buf.dtype)
+        forced = jnp.asarray(-1e30, c.x_buf.dtype) * (1.0 + jitter)
+        values = jnp.where(want, forced, jnp.asarray(jnp.inf, c.x_buf.dtype))
         return c, cands, values
 
     def search_branch(c: TurboCarry):
@@ -116,6 +121,7 @@ def run_turbom(
     m: int = 5,
     n_loc: Optional[int] = None,
     host_loop: bool = False,
+    on_iteration=None,
 ):
     """TuRBO-m: vmapped per-TR fits + global TS allocation (config 5
     [B:11]). Returns (carries, incumbent_trace); the run-level best is
@@ -125,9 +131,11 @@ def run_turbom(
     ``host_loop=True`` jits a single iteration and drives it from the host —
     identical math, one dispatch per iteration, and a far smaller compiled
     binary (use it for very large (m, N_loc, n_cand) products where the
-    monolithic scan program strains the compiler/worker)."""
+    monolithic scan program strains the compiler/worker). ``on_iteration``
+    (host mode only): callback ``(iteration, best) -> None`` for run logging
+    (SURVEY.md §5.5), e.g. ``RunLog.log``."""
     if host_loop:
-        return _run_turbom_host(key, fn, tuple(lb), tuple(ub), cfg, config, m, n_loc)
+        return _run_turbom_host(key, fn, tuple(lb), tuple(ub), cfg, config, m, n_loc, on_iteration)
     return _run_turbom_scan(key, fn, tuple(lb), tuple(ub), cfg, config, m, n_loc)
 
 
@@ -163,7 +171,7 @@ def _grow_carries(carries: TurboCarry, new_cap: int) -> TurboCarry:
     )
 
 
-def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc):
+def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None):
     """Host driver with **bucketed buffer growth**: buffers start at the
     smallest power-of-2 capacity and double as histories fill. Early
     iterations then factorize 256² matrices instead of the final 2048² —
@@ -184,13 +192,15 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc):
     step = jax.jit(_make_step(fn, lb, ub, cfg, config, m))  # retraces per bucket shape
 
     trace = []
-    for _ in range(cfg.n_iters):
+    for it in range(cfg.n_iters):
         n_max_now = int(jnp.max(carries.n))
         if n_max_now + q > cap and cap < n_final:
             cap = min(max(cap * 2, n_max_now + q), n_final)
             carries = _grow_carries(carries, cap)
         carries, best = step(carries)
         trace.append(best)
+        if on_iteration is not None:
+            on_iteration(it, float(best))
     return carries, jnp.asarray(np.asarray(jax.device_get(trace)))
 
 
