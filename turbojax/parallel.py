@@ -24,15 +24,14 @@ GP-BO (SURVEY.md §2.6) — the candidate axis is the long axis.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from turbojax import acq as A
 from turbojax import gp as G
