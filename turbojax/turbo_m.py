@@ -214,7 +214,14 @@ def _make_step(fn, lb, ub, cfg: TurboConfig, config: GPConfig, m: int):
     n_cand = cfg.n_candidates or S.n_candidates(dim)
     fail_tol = cfg.tr.resolved_fail_tol(dim, q)
 
-    from turbojax.trust_region import turbo_absorb  # local import avoids cycle at module load
+    from turbojax.trust_region import _stream_len, turbo_absorb  # local import avoids cycle
+
+    # init-phase forcing writes −∞ at stream slots start..start+q−1, which
+    # must exist inside the candidate set (SURVEY.md §7.3.4 restart device)
+    assert n_cand >= _stream_len(cfg), (
+        f"n_candidates ({n_cand}) must be >= the init stream length "
+        f"({_stream_len(cfg)}) for in-loop restarts"
+    )
 
     def step(carries: TurboCarry):
         k_step = jax.random.fold_in(carries.key[0], 0)
