@@ -43,7 +43,9 @@ class GPConfig:
     # the fused Pallas kernel (TPU backend only; jnp fallback otherwise)
     noise_floor: float = 1e-4
     jitter: float = 1e-6
-    lengthscale_bounds: Tuple[float, float] = (0.005, 20.0)
+    lengthscale_bounds: Tuple[float, float] = (0.005, 2.0)  # the reference's
+    # unit-cube clamp [R]; looser bounds over-smooth and distort TR geometry
+    # (measured: TuRBO-1 Ackley-10D median regret 5.18 -> 3.89 at 1000 evals)
     outputscale_bounds: Tuple[float, float] = (0.05, 20.0)
     noise_bounds: Tuple[float, float] = (1e-4, 0.2)
     fit_optimizer: str = "lbfgs"
