@@ -55,3 +55,16 @@ def test_profile_and_annotate_noop():
         with annotate("fit"):
             x = jnp.ones(4) * 2
     assert float(x.sum()) == 8.0
+
+
+def test_profile_writes_trace(tmp_path):
+    """§5.1: jax.profiler integration actually emits a perfetto dump."""
+    import os
+
+    with profile(str(tmp_path)):
+        with annotate("bench-region"):
+            jax.block_until_ready(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found.extend(files)
+    assert found, "profiler produced no trace files"
