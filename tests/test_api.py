@@ -81,6 +81,21 @@ def test_ask_tell_bo_with_nan_imputation():
     assert np.isfinite(opt.best[1])
 
 
+def test_tell_capacity_guard():
+    """tell() past max_evals raises instead of silently clobbering the
+    last buffer row (clamped dynamic_update_slice)."""
+    b = B.get_benchmark("branin")
+    opt = Optimizer(
+        b.lb, b.ub, method="turbo1", n_init=4, max_evals=8, batch_size=4,
+        gp_config=GCFG, n_candidates=16,
+    )
+    for _ in range(2):
+        xs = opt.ask()
+        opt.tell(xs, np.asarray(b.fn(xs)))
+    with pytest.raises(ValueError, match="capacity"):
+        opt.tell(opt.ask(), np.zeros(4))
+
+
 def test_optimizer_optimize_driver():
     b = B.get_benchmark("branin")
     opt = Optimizer(

@@ -359,6 +359,21 @@ class Optimizer:
             worst = float(np.max(y[finite])) if finite.any() else 1.0
             y = np.where(finite, y, worst + 3.0 * (abs(worst) + 1.0))
         x_unit = np.asarray(T.to_unit_cube(x, self.lb, self.ub), np.float32)
+        # capacity guard: a clamped dynamic_update_slice would silently
+        # overwrite the last buffer row past max_evals
+        if self.method == "turbo1":
+            if int(self._carry.n) + x.shape[0] > self._n_loc_final:
+                raise ValueError(
+                    f"tell() exceeds max_evals capacity ({self._n_loc_final}); "
+                    "construct the Optimizer with a larger max_evals"
+                )
+        elif self._carry is not None:
+            cap = self._carry.x_buf.shape[0]
+            if int(self._carry.n) + x.shape[0] > cap:
+                raise ValueError(
+                    f"tell() exceeds max_evals capacity ({cap}); "
+                    "construct the Optimizer with a larger max_evals"
+                )
         self._history_x.append(x)
         self._history_y.append(y)
 

@@ -70,6 +70,7 @@ def sharded_acq_topq(
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     assert cands.shape[0] % n_dev == 0, "candidate count must divide the mesh"
+    assert q <= cands.shape[0] // n_dev, "q must fit in one candidate shard"
 
     def local(state_rep: G.GPState, cands_loc: Array, best_rep: Array):
         mu, var = G.gp_posterior(state_rep, cands_loc, config)
@@ -120,6 +121,7 @@ def sharded_thompson_select(
 
     n_cand_total = cands.shape[0]
     shard = n_cand_total // n_dev
+    assert q <= shard, "q must fit in one candidate shard"
 
     def local(key_rep: Array, state_rep: G.GPState, cands_loc: Array):
         dev = lax.axis_index(axis)
