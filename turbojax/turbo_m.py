@@ -171,12 +171,49 @@ def _grow_carries(carries: TurboCarry, new_cap: int) -> TurboCarry:
     )
 
 
+def _bucket_ladder(cap0: int, n_final: int):
+    caps = [cap0]
+    while caps[-1] < n_final:
+        caps.append(min(caps[-1] * 2, n_final))
+    return caps
+
+
+def _precompile_buckets(fn, lb, ub, cfg, config, m, carries0, caps):
+    """Warm the persistent XLA cache for future bucket capacities in a
+    daemon thread, overlapping their compiles with current-bucket
+    execution. Uses a private jit instance (no cache races with the main
+    thread); the main thread's step() then re-lowers cheaply and hits the
+    compiled-program cache (docs/ROADMAP.md item 2)."""
+    import threading
+
+    spec0 = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), carries0)
+
+    def grow_spec(spec, cap):
+        x = jax.ShapeDtypeStruct((m, cap) + spec.x_buf.shape[2:], spec.x_buf.dtype)
+        y = jax.ShapeDtypeStruct((m, cap), spec.y_buf.dtype)
+        return spec._replace(x_buf=x, y_buf=y)
+
+    def work():
+        try:
+            step = jax.jit(_make_step(fn, lb, ub, cfg, config, m))
+            for cap in caps[1:]:
+                step.lower(grow_spec(spec0, cap)).compile()
+        except Exception:  # best-effort warm-up; the main path compiles anyway
+            pass
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    return t
+
+
 def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None):
     """Host driver with **bucketed buffer growth**: buffers start at the
     smallest power-of-2 capacity and double as histories fill. Early
     iterations then factorize 256² matrices instead of the final 2048² —
     the O(cap³) fit cost tracks the actual data size (one cached compile
-    per bucket; measured ≈4× faster full config-5 run vs fixed buffers)."""
+    per bucket; measured ≈4× faster full config-5 run vs fixed buffers).
+    Future buckets' XLA compiles are warmed concurrently in a daemon
+    thread (``_precompile_buckets``)."""
     import numpy as np
 
     dim = len(lb)
@@ -190,6 +227,7 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None):
     keys0 = jax.random.split(key, m)
     carries = jax.jit(jax.vmap(lambda k: make_turbo_carry(k, dim, cap, cfg, config)))(keys0)
     step = jax.jit(_make_step(fn, lb, ub, cfg, config, m))  # retraces per bucket shape
+    _precompile_buckets(fn, lb, ub, cfg, config, m, carries, _bucket_ladder(cap, n_final))
 
     trace = []
     for it in range(cfg.n_iters):
