@@ -153,7 +153,9 @@ BENCHMARKS: Dict[str, Benchmark] = {
     "ackley20": _make("ackley20", 20, _ackley, -5.0, 10.0, 0.0),
     "levy10": _make("levy10", 10, _levy, -10.0, 10.0, 0.0),
     "rastrigin10": _make("rastrigin10", 10, _rastrigin, -5.12, 5.12, 0.0),
-    "rover60": _make("rover60", 60, _rover60, 0.0, 1.0, 1.4),  # ≈ shortest obstacle-free path
+    "rover60": _make("rover60", 60, _rover60, 0.0, 1.0, 2.0),  # best known local
+    # optimum ≈2.02 (3000-step gradient descent); obstacle detours keep the
+    # true optimum above the 1.27 free-space path length
 }
 
 
