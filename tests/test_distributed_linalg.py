@@ -83,6 +83,64 @@ def test_distributed_posterior_exact(rng):
     np.testing.assert_allclose(np.asarray(var), var_ref, rtol=1e-5, atol=1e-10)
 
 
+def test_distributed_gp_class(rng):
+    """User-facing DistributedGP: fit/posterior/mll parity vs the dense
+    oracle at the same hypers (the auto-distributed GP entry point)."""
+    from turbojax.distributed_linalg import DistributedGP
+
+    n, m, d = 128, 7, 4
+    x = rng.rand(n, d)
+    y = np.sin(4 * x[:, 0]) + 0.1 * rng.randn(n)
+    xs = rng.rand(m, d)
+    mesh = PAR.make_mesh(4, axis="rows")
+    dgp = DistributedGP(mesh, kernel="matern52", panel=16).fit(
+        jnp.asarray(x), jnp.asarray(y), np.full(d, 0.5), 1.0, 1e-2
+    )
+    mu, var = dgp.posterior(jnp.asarray(xs))
+    gp = onp.NumpyGP("matern52", np.full(d, 0.5), 1.0, 1e-2).fit(x, y)
+    mu_ref, var_ref = gp.posterior(xs)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), var_ref, rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(float(dgp.mll()), gp.mll(), rtol=1e-8)
+
+
+def test_distributed_mll_is_differentiable(rng):
+    """grad of the distributed MLL w.r.t. kernel hypers matches the dense
+    grad — shard_map/all_gather/psum all transpose, so distributed
+    hyperparameter FITTING works, not just inference."""
+    from turbojax import kernels as K
+    from turbojax import distributed_linalg as DLX
+
+    n, d = 64, 3
+    x = jnp.asarray(rng.rand(n, d))
+    y = jnp.asarray(np.sin(4 * rng.rand(n)))
+    mesh = PAR.make_mesh(4, axis="rows")
+
+    def mll_dist(log_ls):
+        params = {"lengthscale": jnp.exp(log_ls), "outputscale": jnp.asarray(1.0)}
+        k = K.matern52(params, x, x) + 1e-2 * jnp.eye(n)
+        l_mat = DLX.distributed_cholesky(k, mesh, panel=16)
+        alpha = DLX.distributed_cho_solve(l_mat, y[:, None], mesh, panel=16)
+        quad = jnp.dot(y, alpha[:, 0])
+        logdet = DLX.distributed_logdet_from_chol(l_mat, mesh)
+        return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+
+    def mll_dense(log_ls):
+        params = {"lengthscale": jnp.exp(log_ls), "outputscale": jnp.asarray(1.0)}
+        k = K.matern52(params, x, x) + 1e-2 * jnp.eye(n)
+        l_mat = jnp.linalg.cholesky(k)
+        a = jax.scipy.linalg.cho_solve((l_mat, True), y)
+        return -0.5 * (
+            jnp.dot(y, a) + 2 * jnp.sum(jnp.log(jnp.diag(l_mat))) + n * jnp.log(2 * jnp.pi)
+        )
+
+    log_ls = jnp.asarray(np.log([0.4, 0.6, 0.5]))
+    v1, g1 = jax.value_and_grad(mll_dist)(log_ls)
+    v2, g2 = jax.value_and_grad(mll_dense)(log_ls)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6, atol=1e-9)
+
+
 def test_distributed_gp_mll_pipeline(rng):
     """End-to-end large-N GP fit core on the mesh: chol + alpha + logdet
     reproduce the dense MLL — the N ≫ chip scaling path."""

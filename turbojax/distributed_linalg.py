@@ -242,3 +242,60 @@ def distributed_logdet_from_chol(l_mat: Array, mesh: Mesh) -> Array:
 
     fn = shard_map(local, mesh=mesh, in_specs=P(axis, None), out_specs=P(), check_vma=False)
     return fn(l_mat)
+
+
+# --------------------------------------------------------------------------
+# User-facing distributed exact GP (roadmap: "auto-distributed GP")
+
+
+class DistributedGP:
+    """Exact GP whose O(N²)/O(N³) state is row-block-sharded over a mesh —
+    the drop-in for ``gp.make_gp_state``/``gp_posterior`` when N exceeds a
+    chip (SURVEY.md §5.7(b)). Same math, same rtol-1e-5 parity bar
+    (tests/test_distributed_linalg.py).
+
+    Usage::
+
+        dgp = DistributedGP(mesh, kernel="matern52", panel=128)
+        dgp.fit(x, y, lengthscale, outputscale, noise)   # x: (N, d), N % D == 0
+        mu, var = dgp.posterior(xs)
+        mll = dgp.mll()
+    """
+
+    def __init__(self, mesh: Mesh, kernel: str = "matern52", panel: int = 128):
+        self.mesh = mesh
+        self.kernel = kernel
+        self.panel = panel
+
+    def fit(self, x: Array, y: Array, lengthscale, outputscale, noise) -> "DistributedGP":
+        from turbojax import kernels as K
+
+        self.x = x
+        self.params = {
+            "lengthscale": jnp.asarray(lengthscale),
+            "outputscale": jnp.asarray(outputscale),
+        }
+        self.noise = jnp.asarray(noise)
+        n = x.shape[0]
+        kfn = K.get_kernel(self.kernel)
+        k_mat = kfn(self.params, x, x) + self.noise * jnp.eye(n, dtype=x.dtype)
+        self.chol = distributed_cholesky(k_mat, self.mesh, self.panel)
+        self.y = y
+        self.alpha = distributed_cho_solve(self.chol, y[:, None], self.mesh, self.panel)
+        return self
+
+    def posterior(self, xs: Array) -> Tuple[Array, Array]:
+        from turbojax import kernels as K
+
+        kfn = K.get_kernel(self.kernel)
+        k_cross = kfn(self.params, self.x, xs)
+        k_diag = K.kernel_diag(self.params, xs)
+        return distributed_gp_posterior(
+            self.chol, self.alpha, k_cross, k_diag, self.mesh, self.panel
+        )
+
+    def mll(self) -> Array:
+        n = self.y.shape[0]
+        quad = jnp.dot(self.y, self.alpha[:, 0])
+        logdet = distributed_logdet_from_chol(self.chol, self.mesh)
+        return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
