@@ -20,9 +20,9 @@ def _spd(rng, n, noise=1e-2):
     return jnp.asarray(k)
 
 
-@pytest.mark.parametrize("n_dev,panel", [(2, 32), (8, 16)])
+@pytest.mark.parametrize("n_dev,panel", [(4, 16)])
 def test_distributed_cholesky_exact(rng, n_dev, panel):
-    n = 128
+    n = 64
     k = _spd(rng, n)
     mesh = PAR.make_mesh(n_dev, axis="rows")
     l_dist = np.asarray(DL.distributed_cholesky(k, mesh, panel=panel))
@@ -60,7 +60,7 @@ def test_distributed_logdet(rng):
 def test_distributed_posterior_exact(rng):
     """Train-axis-sharded posterior == dense oracle posterior (rtol 1e-5 —
     the [B:5] parity bar, now at N ≫ chip layout)."""
-    n, m = 128, 9
+    n, m = 64, 9
     x = rng.rand(n, 6)
     y = np.sin(3 * x[:, 0])
     xs = rng.rand(m, 6)
@@ -88,7 +88,7 @@ def test_distributed_gp_class(rng):
     oracle at the same hypers (the auto-distributed GP entry point)."""
     from turbojax.distributed_linalg import DistributedGP
 
-    n, m, d = 128, 7, 4
+    n, m, d = 64, 7, 4
     x = rng.rand(n, d)
     y = np.sin(4 * x[:, 0]) + 0.1 * rng.randn(n)
     xs = rng.rand(m, d)
@@ -111,7 +111,7 @@ def test_distributed_mll_is_differentiable(rng):
     from turbojax import kernels as K
     from turbojax import distributed_linalg as DLX
 
-    n, d = 64, 3
+    n, d = 32, 3
     x = jnp.asarray(rng.rand(n, d))
     y = jnp.asarray(np.sin(4 * rng.rand(n)))
     mesh = PAR.make_mesh(4, axis="rows")
@@ -144,7 +144,7 @@ def test_distributed_mll_is_differentiable(rng):
 def test_distributed_gp_mll_pipeline(rng):
     """End-to-end large-N GP fit core on the mesh: chol + alpha + logdet
     reproduce the dense MLL — the N ≫ chip scaling path."""
-    n = 128
+    n = 64
     x = rng.rand(n, 6)
     y = np.sin(3 * x[:, 0]) + 0.1 * rng.randn(n)
     k = onp.kernel_matrix("matern52", x, x, np.full(6, 0.5), 1.0)
