@@ -119,8 +119,8 @@ def test_distributed_mll_is_differentiable(rng):
     def mll_dist(log_ls):
         params = {"lengthscale": jnp.exp(log_ls), "outputscale": jnp.asarray(1.0)}
         k = K.matern52(params, x, x) + 1e-2 * jnp.eye(n)
-        l_mat = DLX.distributed_cholesky(k, mesh, panel=16)
-        alpha = DLX.distributed_cho_solve(l_mat, y[:, None], mesh, panel=16)
+        l_mat = DLX.distributed_cholesky(k, mesh, panel=8)
+        alpha = DLX.distributed_cho_solve(l_mat, y[:, None], mesh, panel=8)
         quad = jnp.dot(y, alpha[:, 0])
         logdet = DLX.distributed_logdet_from_chol(l_mat, mesh)
         return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
