@@ -31,7 +31,7 @@ def test_distributed_cholesky_exact(rng, n_dev, panel):
 
 
 def test_distributed_solves_exact(rng):
-    n, m = 128, 5
+    n, m = 64, 5
     k = _spd(rng, n)
     b = jnp.asarray(rng.randn(n, m))
     mesh = PAR.make_mesh(4, axis="rows")
@@ -48,7 +48,7 @@ def test_distributed_solves_exact(rng):
 
 
 def test_distributed_logdet(rng):
-    n = 128
+    n = 64
     k = _spd(rng, n)
     mesh = PAR.make_mesh(4, axis="rows")
     l_dist = DL.distributed_cholesky(k, mesh, panel=16)
