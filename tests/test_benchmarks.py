@@ -29,6 +29,23 @@ def test_levy_rastrigin_optimum():
     np.testing.assert_allclose(float(B.get_benchmark("rastrigin10")(jnp.zeros((1, 10)))[0]), 0.0, atol=1e-8)
 
 
+def test_rosenbrock_griewank_optima():
+    np.testing.assert_allclose(
+        float(B.get_benchmark("rosenbrock10")(jnp.ones((1, 10)))[0]), 0.0, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(B.get_benchmark("griewank10")(jnp.zeros((1, 10)))[0]), 0.0, atol=1e-8
+    )
+
+
+def test_michalewicz_properties():
+    b = B.get_benchmark("michalewicz10")
+    rng = np.random.RandomState(0)
+    vals = np.asarray(b(jnp.asarray(rng.rand(64, 10) * np.pi)))
+    assert vals.min() > b.optimum  # known minimum ≈ −9.66 for d=10
+    assert np.all(vals <= 0.0)
+
+
 def test_rover60_properties():
     b = B.get_benchmark("rover60")
     assert b.dim == 60

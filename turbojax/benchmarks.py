@@ -97,6 +97,22 @@ def _rastrigin(x: Array) -> Array:
     return 10.0 * x.shape[-1] + jnp.sum(x**2 - 10.0 * jnp.cos(2 * jnp.pi * x), axis=-1)
 
 
+def _rosenbrock(x: Array) -> Array:
+    return jnp.sum(
+        100.0 * (x[:, 1:] - x[:, :-1] ** 2) ** 2 + (1.0 - x[:, :-1]) ** 2, axis=-1
+    )
+
+
+def _griewank(x: Array) -> Array:
+    i = jnp.sqrt(jnp.arange(1, x.shape[-1] + 1, dtype=x.dtype))
+    return 1.0 + jnp.sum(x**2, axis=-1) / 4000.0 - jnp.prod(jnp.cos(x / i), axis=-1)
+
+
+def _michalewicz(x: Array) -> Array:
+    i = jnp.arange(1, x.shape[-1] + 1, dtype=x.dtype)
+    return -jnp.sum(jnp.sin(x) * jnp.sin(i * x**2 / jnp.pi) ** 20, axis=-1)
+
+
 # --------------------------------------------------------------------------
 # Rover-style 60-D trajectory problem [B:11]; hermetic (SURVEY.md §6)
 
@@ -153,6 +169,9 @@ BENCHMARKS: Dict[str, Benchmark] = {
     "ackley20": _make("ackley20", 20, _ackley, -5.0, 10.0, 0.0),
     "levy10": _make("levy10", 10, _levy, -10.0, 10.0, 0.0),
     "rastrigin10": _make("rastrigin10", 10, _rastrigin, -5.12, 5.12, 0.0),
+    "rosenbrock10": _make("rosenbrock10", 10, _rosenbrock, -5.0, 10.0, 0.0),
+    "griewank10": _make("griewank10", 10, _griewank, -600.0, 600.0, 0.0),
+    "michalewicz10": _make("michalewicz10", 10, _michalewicz, 0.0, float(np.pi), -9.66),
     "rover60": _make("rover60", 60, _rover60, 0.0, 1.0, 2.0),  # best known local
     # optimum ≈2.02 (3000-step gradient descent); obstacle detours keep the
     # true optimum above the 1.27 free-space path length
