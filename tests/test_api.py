@@ -81,6 +81,38 @@ def test_ask_tell_bo_with_nan_imputation():
     assert np.isfinite(opt.best[1])
 
 
+def test_ask_tell_turbom():
+    """Ask/tell for TuRBO-m (C18): global allocation maps points to TRs;
+    the protocol converges on Branin like the compiled loop."""
+    b = B.get_benchmark("branin")
+    opt = Optimizer(
+        b.lb, b.ub, method="turbom", m=2, n_init=4, max_evals=40, batch_size=4,
+        gp_config=GCFG, n_candidates=32, seed=3,
+    )
+    lb, ub = np.asarray(b.lb), np.asarray(b.ub)
+    for _ in range(9):
+        xs = opt.ask()
+        assert xs.shape == (4, 2)
+        assert np.all(xs >= lb - 1e-5) and np.all(xs <= ub + 1e-5)
+        opt.tell(xs, np.asarray(b.fn(xs)))
+    assert opt.best[1] < 25.0
+    # every evaluated point landed in exactly one TR
+    assert int(np.asarray(opt._carry.n).sum()) == 9 * 4
+
+
+def test_turbom_tell_requires_matching_ask():
+    b = B.get_benchmark("branin")
+    opt = Optimizer(
+        b.lb, b.ub, method="turbom", m=2, n_init=4, max_evals=20, batch_size=2,
+        gp_config=GCFG, n_candidates=16,
+    )
+    xs = opt.ask()
+    n_hist_before = len(opt._history_y)
+    with pytest.raises(ValueError, match="ask"):
+        opt.tell(np.asarray(xs) + 0.5, np.zeros(2))  # different points
+    assert len(opt._history_y) == n_hist_before  # rejected tell leaves no trace
+
+
 def test_tell_capacity_guard():
     """tell() past max_evals raises instead of silently clobbering the
     last buffer row (clamped dynamic_update_slice)."""

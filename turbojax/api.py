@@ -247,6 +247,7 @@ class Optimizer:
         max_cholesky_size: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 0,
+        m: int = 5,
     ):
         """``max_cholesky_size`` mirrors the reference knob [R, SURVEY.md
         §5.6]: the reference switches to iterative (Lanczos) methods beyond
@@ -256,9 +257,13 @@ class Optimizer:
         ``checkpoint_path``/``checkpoint_every``: write the full optimizer
         state (device carry + host history + RNG) every k tells; restore
         with ``Optimizer.resume(path, ...)`` and continue deterministically
-        (SURVEY.md §5.4)."""
-        if method not in ("bo", "turbo1"):
-            raise ValueError("ask/tell supports methods 'bo' and 'turbo1'")
+        (SURVEY.md §5.4).
+
+        ``method="turbom"`` runs m independent trust regions with global
+        Thompson allocation (C18 [B:11]); its ``tell`` must follow the
+        matching ``ask`` (the allocation maps each point to its TR)."""
+        if method not in ("bo", "turbo1", "turbom"):
+            raise ValueError("ask/tell supports methods 'bo', 'turbo1' and 'turbom'")
         self._ts_chunk = max_cholesky_size
         self._ckpt_path = checkpoint_path
         self._ckpt_every = checkpoint_every
@@ -298,6 +303,33 @@ class Optimizer:
                     self.cfg, self.gp_config, self._fail_tol, k,
                 )
             )
+        elif method == "turbom":
+            from turbojax import turbo_m as TM
+
+            self.m = m
+            self.cfg = TR.TurboConfig(
+                n_init=n_init, max_evals=max_evals, batch_size=batch_size,
+                n_candidates=n_candidates, fit_every=fit_every, tr=tr_config,
+                ts_chunk=self._ts_chunk,
+            )
+            self._n_loc_final = n_init + self.cfg.n_iters * batch_size
+            cap = 32
+            while cap < max(2 * batch_size, n_init + batch_size):
+                cap *= 2
+            cap = min(cap, self._n_loc_final)
+            self._fail_tol = tr_config.resolved_fail_tol(self.dim, batch_size)
+            keys = jax.random.split(self._next_key(), m)
+            self._carry = jax.jit(
+                jax.vmap(lambda k: TR.make_turbo_carry(k, self.dim, cap, self.cfg, gp_config))
+            )(keys)
+            self._propose = jax.jit(
+                lambda c: TM.turbom_propose_batch(c, self.cfg, self.gp_config, self.m)
+            )
+            self._absorb = jax.jit(
+                lambda c, x, y, ti, rk: TM.turbom_absorb_batch(
+                    c, x, y, ti, rk, self.cfg, self.gp_config, self.m, self._fail_tol
+                )
+            )
         else:
             self.cfg = BO.BOConfig(
                 n_init=n_init, max_evals=max_evals, batch_size=batch_size, acq=acq,
@@ -331,6 +363,11 @@ class Optimizer:
             self._carry = carry
             self._pending = (np.asarray(xs), bool(in_search))
             return np.asarray(T.from_unit_cube(xs, self.lb, self.ub))
+        if self.method == "turbom":
+            carries, x_sel, tr_idx, restart_keys = self._propose(self._carry)
+            self._carry = carries
+            self._pending = (np.asarray(x_sel), np.asarray(tr_idx), restart_keys)
+            return np.asarray(T.from_unit_cube(x_sel, self.lb, self.ub))
         # plain BO
         if self._carry is None:
             start = self._n_told
@@ -361,8 +398,9 @@ class Optimizer:
         x_unit = np.asarray(T.to_unit_cube(x, self.lb, self.ub), np.float32)
         # capacity guard: a clamped dynamic_update_slice would silently
         # overwrite the last buffer row past max_evals
-        if self.method == "turbo1":
-            if int(self._carry.n) + x.shape[0] > self._n_loc_final:
+        if self.method in ("turbo1", "turbom"):
+            n_now = int(np.max(np.asarray(self._carry.n)))
+            if n_now + x.shape[0] > self._n_loc_final:
                 raise ValueError(
                     f"tell() exceeds max_evals capacity ({self._n_loc_final}); "
                     "construct the Optimizer with a larger max_evals"
@@ -374,6 +412,19 @@ class Optimizer:
                     f"tell() exceeds max_evals capacity ({cap}); "
                     "construct the Optimizer with a larger max_evals"
                 )
+        if self.method == "turbom":
+            # validate before touching host history: the global Thompson
+            # allocation maps each point to a TR, so tells must match asks
+            if self._pending is None:
+                raise ValueError(
+                    "turbom tell() must follow its matching ask() — the global "
+                    "Thompson allocation maps each point to a trust region"
+                )
+            x_pend = self._pending[0]
+            if not np.allclose(
+                x, np.asarray(T.from_unit_cube(jnp.asarray(x_pend), self.lb, self.ub)), atol=1e-5
+            ):
+                raise ValueError("turbom tell() points must be the ones ask() proposed")
         self._history_x.append(x)
         self._history_y.append(y)
 
@@ -386,6 +437,19 @@ class Optimizer:
             self._carry = self._absorb(
                 self._carry, jnp.asarray(x_unit), jnp.asarray(y),
                 jnp.asarray(in_search), self._next_key(),
+            )
+        elif self.method == "turbom":
+            from turbojax.turbo_m import _grow_carries
+
+            x_pend, tr_idx, restart_keys = self._pending
+            cap = self._carry.x_buf.shape[1]
+            n_now = int(np.max(np.asarray(self._carry.n)))
+            if n_now + x.shape[0] > cap and cap < self._n_loc_final:
+                new_cap = min(max(cap * 2, n_now + x.shape[0]), self._n_loc_final)
+                self._carry = _grow_carries(self._carry, new_cap)
+            self._carry, _ = self._absorb(
+                self._carry, jnp.asarray(x_pend), jnp.asarray(y),
+                jnp.asarray(tr_idx), restart_keys,
             )
         else:
             self._n_told += x.shape[0]

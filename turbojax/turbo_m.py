@@ -242,17 +242,8 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None):
     return carries, jnp.asarray(np.asarray(jax.device_get(trace)))
 
 
-def _make_step(fn, lb, ub, cfg: TurboConfig, config: GPConfig, m: int):
-    """One TuRBO-m iteration over all m TRs (shared by the scan and
-    host-loop drivers; also the unit the sharded path parallels)."""
-    dim = len(lb)
-    lb_a = jnp.asarray(lb, jnp.float32)
-    ub_a = jnp.asarray(ub, jnp.float32)
-    q = cfg.batch_size
-    n_cand = cfg.n_candidates or S.n_candidates(dim)
-    fail_tol = cfg.tr.resolved_fail_tol(dim, q)
-
-    from turbojax.trust_region import _stream_len, turbo_absorb  # local import avoids cycle
+def _check_n_cand(cfg: TurboConfig, n_cand: int):
+    from turbojax.trust_region import _stream_len
 
     # init-phase forcing writes −∞ at stream slots start..start+q−1, which
     # must exist inside the candidate set (SURVEY.md §7.3.4 restart device)
@@ -261,35 +252,78 @@ def _make_step(fn, lb, ub, cfg: TurboConfig, config: GPConfig, m: int):
         f"({_stream_len(cfg)}) for in-loop restarts"
     )
 
+
+def turbom_propose_batch(carries: TurboCarry, cfg: TurboConfig, config: GPConfig, m: int):
+    """First half of a TuRBO-m iteration: per-TR proposals (vmapped) +
+    global Thompson allocation. Returns (carries, x_sel (q, d) unit cube,
+    tr_idx (q,), restart_keys (m,)) — feed the evaluations plus these to
+    ``turbom_absorb_batch``. Used by the compiled step and the ask/tell
+    API (SURVEY.md C15 API (a) for C18)."""
+    dim = carries.x_buf.shape[-1]
+    n_cand = cfg.n_candidates or S.n_candidates(dim)
+    _check_n_cand(cfg, n_cand)
+
+    k_step = jax.random.fold_in(carries.key[0], 0)
+    k_prop, k_restart = jax.random.split(k_step)
+    prop_keys = jax.random.split(k_prop, m)
+    restart_keys = jax.random.split(k_restart, m)
+    # advance each TR's own key stream
+    new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(carries.key)
+    carries = carries._replace(key=new_keys)
+
+    carries, cands, values = jax.vmap(
+        lambda c, k: _tr_proposals_and_values(c, k, cfg, config, n_cand)
+    )(carries, prop_keys)
+    tr_idx, cand_idx = global_allocate(values)  # (q,), (q,)
+    x_sel = cands[tr_idx, cand_idx]  # (q, d)
+    return carries, x_sel, tr_idx, restart_keys
+
+
+def turbom_absorb_batch(
+    carries: TurboCarry,
+    x_sel,
+    y_sel,
+    tr_idx,
+    restart_keys,
+    cfg: TurboConfig,
+    config: GPConfig,
+    m: int,
+    fail_tol: int,
+):
+    """Second half: impute failures, credit each TR with its allocated
+    points, run counter transitions and restarts. Returns (carries, best)."""
+    from turbojax.trust_region import turbo_absorb
+
+    y_sel = y_sel.astype(x_sel.dtype)
+    # §5.3: impute NaN/inf objective values against the global history
+    flat_mask = (jnp.arange(carries.y_buf.shape[1])[None, :] < carries.n[:, None]).reshape(-1)
+    y_sel = T.impute_failures(y_sel, carries.y_buf.reshape(-1), flat_mask)
+
+    in_search = carries.n >= cfg.n_init  # (m,)
+    accept = tr_idx[None, :] == jnp.arange(m)[:, None]  # (m, q)
+    carries = jax.vmap(
+        lambda c, acc, srch, rk: turbo_absorb(
+            c, x_sel, y_sel, acc, srch, cfg, config, fail_tol, rk
+        )
+    )(carries, accept, in_search, restart_keys)
+    return carries, jnp.min(carries.best_y)
+
+
+def _make_step(fn, lb, ub, cfg: TurboConfig, config: GPConfig, m: int):
+    """One TuRBO-m iteration over all m TRs (shared by the scan and
+    host-loop drivers; also the unit the sharded path parallels)."""
+    dim = len(lb)
+    lb_a = jnp.asarray(lb, jnp.float32)
+    ub_a = jnp.asarray(ub, jnp.float32)
+    q = cfg.batch_size
+    fail_tol = cfg.tr.resolved_fail_tol(dim, q)
+    _check_n_cand(cfg, cfg.n_candidates or S.n_candidates(dim))
+
     def step(carries: TurboCarry):
-        k_step = jax.random.fold_in(carries.key[0], 0)
-        k_prop, k_restart = jax.random.split(k_step)
-        prop_keys = jax.random.split(k_prop, m)
-        restart_keys = jax.random.split(k_restart, m)
-        # advance each TR's own key stream
-        new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(carries.key)
-        carries = carries._replace(key=new_keys)
-
-        carries, cands, values = jax.vmap(
-            lambda c, k: _tr_proposals_and_values(c, k, cfg, config, n_cand)
-        )(carries, prop_keys)
-        # cands: (m, n_cand, d); values: (m, q, n_cand)
-
-        tr_idx, cand_idx = global_allocate(values)  # (q,), (q,)
-        x_sel = cands[tr_idx, cand_idx]  # (q, d)
+        carries, x_sel, tr_idx, restart_keys = turbom_propose_batch(carries, cfg, config, m)
         y_sel = fn(T.from_unit_cube(x_sel, lb_a, ub_a)).astype(x_sel.dtype)
-        # §5.3: impute NaN/inf objective values against the global history
-        flat_mask = (jnp.arange(carries.y_buf.shape[1])[None, :] < carries.n[:, None]).reshape(-1)
-        y_sel = T.impute_failures(y_sel, carries.y_buf.reshape(-1), flat_mask)
-
-        in_search = carries.n >= cfg.n_init  # (m,)
-        accept = tr_idx[None, :] == jnp.arange(m)[:, None]  # (m, q)
-        carries = jax.vmap(
-            lambda c, acc, srch, rk: turbo_absorb(
-                c, x_sel, y_sel, acc, srch, cfg, config, fail_tol, rk
-            )
-        )(carries, accept, in_search, restart_keys)
-
-        return carries, jnp.min(carries.best_y)
+        return turbom_absorb_batch(
+            carries, x_sel, y_sel, tr_idx, restart_keys, cfg, config, m, fail_tol
+        )
 
     return step
