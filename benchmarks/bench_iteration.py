@@ -81,6 +81,31 @@ def bench_jax(ns=(100, 500, 2000), d=10, n_cand=5000, q=10):
             kv = jnp.zeros((n_max,), jnp.float32).at[:n].set(0.5)
             app = jax.jit(lambda lb_, nv, kvec: L.chol_append(lb_, nv, kvec, jnp.asarray(1.001)))
             results[f"chol_append_n{n}"] = timeit(lambda: app(state.chol, jnp.asarray(n), kv))
+
+            # full BO iteration INCLUDING the hyperparameter refit — the
+            # reference's dominant per-iteration cost (SURVEY.md §3.2; the
+            # VERDICT r1 "missing #1" honesty row). Two variants: the TuRBO
+            # configs' Adam trainer and the flagship L-BFGS path [B:8].
+            import dataclasses
+
+            for opt_name, fit_cfg in (
+                ("adam", dataclasses.replace(config, fit_optimizer="adam", fit_maxiter=50)),
+                ("lbfgs", dataclasses.replace(config, fit_optimizer="lbfgs", fit_maxiter=30)),
+            ):
+                def _iter_refit(k, xb, yb, c, _cfg=fit_cfg):
+                    st = G.fit_gp(k, xb, yb, mask, _cfg)
+                    mu, var = G.gp_posterior(st, c, _cfg)
+                    best = jnp.min(jnp.where(mask, yb, jnp.inf))
+                    ei = A.expected_improvement(mu, var, best)
+                    xs, vals = A.thompson_select(
+                        jax.random.fold_in(k, 7), st, c, q, _cfg, 1000
+                    )
+                    return xs, vals, ei
+
+                it_fn = jax.jit(_iter_refit)
+                results[f"iteration_refit_{opt_name}_n{n}"] = timeit(
+                    lambda: it_fn(key, x_buf, y_buf, cands), reps=2
+                )
     return results
 
 
@@ -122,6 +147,33 @@ def bench_oracle(ns=(100, 500, 2000), d=10, n_cand=5000, q=10):
         t0 = time.perf_counter()
         ts()
         results[f"ts_q{q}_5k_n{n}"] = time.perf_counter() - t0
+
+        if n == 2000:
+            # reference-lane hyperparameter fit: multi-restart scipy
+            # L-BFGS-B on the analytic-gradient MLL (oracle/numpy_gp.py,
+            # SURVEY.md §3.2's "≥10x target's main lever"). Measured once —
+            # it is minutes of chol+inverse per restart at n=2000.
+            t0 = time.perf_counter()
+            params, _, nfev = onp.fit_mll_lbfgs(x, y, "matern52", n_restarts=4, maxiter=30)
+            t_fit = time.perf_counter() - t0
+            results[f"mll_fit_n{n}"] = t_fit
+            # iteration-with-refit = fit + (posterior + TS + EI) at the
+            # fitted hypers. The reference has ONE fit path (L-BFGS), so the
+            # same oracle lane baselines both of the build's refit variants.
+            gp_fit = onp.NumpyGP(
+                "matern52", params["lengthscale"], params["outputscale"], params["noise"]
+            ).fit(x, (y - y.mean()) / max(y.std(), 1e-8))
+            t0 = time.perf_counter()
+            mu, var = gp_fit.posterior(cands)
+            onp.expected_improvement(mu, var, y.min())
+            for c0 in range(0, n_cand, 1000):
+                mu_c, cov_c = gp_fit.posterior_cov(cands[c0 : c0 + 1000])
+                cov_c[np.diag_indices(1000)] += 1e-6 * max(cov_c.diagonal().max(), 1e-12)
+                lc = np.linalg.cholesky(cov_c)
+                rng.randn(q, 1000) @ lc.T
+            t_acq = time.perf_counter() - t0
+            results[f"iteration_refit_adam_n{n}"] = t_fit + t_acq
+            results[f"iteration_refit_lbfgs_n{n}"] = t_fit + t_acq
     return results
 
 

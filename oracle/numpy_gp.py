@@ -106,6 +106,134 @@ def lower_confidence_bound(mu, var, kappa=2.0):
     return mu - kappa * np.sqrt(var)
 
 
+# ---------------------------------------------------------------------------
+# Hyperparameter fit oracle (SURVEY.md C7 reference lane): multi-restart
+# scipy L-BFGS-B on the analytic-gradient MLL — the reference stack's way of
+# doing the same job (GPyTorch autograd + L-BFGS / scipy L-BFGS-B [B:5, B:8]).
+# This is the CPU baseline lane for BENCH's mll_fit / iteration_with_refit
+# rows; numerical finite differences would be unfairly slow, so the gradient
+# is the standard closed form  dMLL/dθ = ½ tr((ααᵀ − K⁻¹) ∂K/∂θ).
+
+_SQRT5_ = _SQRT5
+
+
+def _kernel_sig_and_dr2(name: str, d2: np.ndarray, outputscale: float):
+    """Signal kernel matrix s²k̃(r) and dK/d(r²) for the supported kernels."""
+    r = np.sqrt(np.maximum(d2, 0.0))
+    if name == "rbf":
+        k_sig = outputscale * np.exp(-0.5 * d2)
+        return k_sig, -0.5 * k_sig
+    if name == "matern32":
+        e = np.exp(-_SQRT3 * r)
+        return outputscale * (1 + _SQRT3 * r) * e, -1.5 * outputscale * e
+    if name == "matern52":
+        e = np.exp(-_SQRT5 * r)
+        k_sig = outputscale * (1 + _SQRT5 * r + (5.0 / 3.0) * d2) * e
+        return k_sig, -(5.0 / 6.0) * outputscale * (1 + _SQRT5 * r) * e
+    if name == "matern12":
+        k_sig = outputscale * np.exp(-r)
+        # dk/d(r²) = −k/(2r); singular at r=0 but always multiplied by
+        # ∂r²/∂θ which vanishes there — guard and zero.
+        safe_r = np.maximum(r, 1e-12)
+        return k_sig, np.where(r > 0, -k_sig / (2.0 * safe_r), 0.0)
+    raise ValueError(name)
+
+
+def neg_mll_value_and_grad(theta: np.ndarray, x: np.ndarray, y: np.ndarray, kernel: str):
+    """−MLL and its gradient w.r.t. θ = [log ℓ₁..log ℓ_d, log s², log σ²].
+
+    One Cholesky + one explicit K⁻¹ per call (the same O(n³) work the
+    reference's autograd backward pays).
+    """
+    n, d = x.shape
+    log_ls, log_s2, log_n2 = theta[:d], theta[d], theta[d + 1]
+    ls = np.exp(log_ls)
+    s2 = np.exp(log_s2)
+    n2 = np.exp(log_n2)
+
+    z = x / ls
+    d2 = pairwise_sqdist(z, z)
+    k_sig, dk_dr2 = _kernel_sig_and_dr2(kernel, d2, s2)
+    k = k_sig + n2 * np.eye(n)
+
+    L = cholesky(k, lower=True)
+    alpha = cho_solve((L, True), y)
+    k_inv = cho_solve((L, True), np.eye(n))
+    neg_mll = 0.5 * (y @ alpha + 2.0 * np.sum(np.log(np.diag(L))) + n * np.log(2 * np.pi))
+
+    outer_minus_inv = np.outer(alpha, alpha) - k_inv  # (ααᵀ − K⁻¹)
+    grad = np.empty(d + 2)
+    m = dk_dr2 * outer_minus_inv
+    for i in range(d):
+        diff = x[:, i : i + 1] - x[None, :, i]
+        s_i = (diff * diff) / (ls[i] * ls[i])  # scaled sqdist along dim i
+        grad[i] = np.sum(m * s_i)  # dMLL/dlogℓ = −Σ m∘s; negated for −MLL
+    grad[d] = -0.5 * np.sum(outer_minus_inv * k_sig)
+    grad[d + 1] = -0.5 * n2 * (alpha @ alpha - np.trace(k_inv))
+    return neg_mll, grad
+
+
+def fit_mll_lbfgs(
+    x: np.ndarray,
+    y: np.ndarray,
+    kernel: str = "matern52",
+    n_restarts: int = 4,
+    maxiter: int = 30,
+    lengthscale_bounds=(0.005, 2.0),
+    outputscale_bounds=(0.05, 20.0),
+    noise_bounds=(1e-4, 0.2),
+    seed: int = 0,
+):
+    """Multi-restart L-BFGS-B MLL maximization (reference train_gp oracle,
+    SURVEY.md §3.2). y is standardized internally (as the build's fit_gp
+    does). Returns (params dict, best −MLL, total fn evals)."""
+    from scipy.optimize import minimize
+
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    y_std = (y - y.mean()) / max(y.std(), 1e-8)
+    n, d = x.shape
+    rng = np.random.RandomState(seed)
+
+    bounds = (
+        [tuple(np.log(lengthscale_bounds))] * d
+        + [tuple(np.log(outputscale_bounds))]
+        + [tuple(np.log(noise_bounds))]
+    )
+    # restart 0: reference defaults (ℓ=0.5, s²=1, σ²=1e-3); rest log-uniform
+    # over the interior box (mirrors gp.sample_restart_params)
+    inits = [np.concatenate([np.log(np.full(d, 0.5)), [0.0], [np.log(1e-3)]])]
+    for _ in range(n_restarts - 1):
+        ls0 = np.exp(rng.uniform(np.log(0.05 * 1.5), np.log(2.0 / 1.5), d))
+        s0 = np.exp(rng.uniform(np.log(0.2 * 1.5), np.log(5.0 / 1.5)))
+        e0 = np.exp(rng.uniform(np.log(1e-4 * 1.5), np.log(1e-1 / 1.5)))
+        inits.append(np.concatenate([np.log(ls0), [np.log(s0)], [np.log(e0)]]))
+
+    best_val, best_theta, nfev = np.inf, inits[0], 0
+    for theta0 in inits:
+        res = minimize(
+            neg_mll_value_and_grad,
+            theta0,
+            args=(x, y_std, kernel),
+            jac=True,
+            method="L-BFGS-B",
+            bounds=bounds,
+            options={"maxiter": maxiter},
+        )
+        nfev += res.nfev
+        if res.fun < best_val:
+            best_val, best_theta = res.fun, res.x
+    return (
+        {
+            "lengthscale": np.exp(best_theta[:d]),
+            "outputscale": float(np.exp(best_theta[d])),
+            "noise": float(np.exp(best_theta[d + 1])),
+        },
+        float(best_val),
+        nfev,
+    )
+
+
 def incremental_chol_append(L: np.ndarray, k_vec: np.ndarray, k_nn: float) -> np.ndarray:
     """Dense incremental Cholesky append (oracle for C5)."""
     n = L.shape[0]

@@ -13,6 +13,10 @@ overrides are clobbered by the plugin's sitecustomize).
 """
 
 import os
+import sys
+
+# repo root on sys.path so tests can import bench.py / benchmarks/ directly
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -22,7 +26,12 @@ import tempfile
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# TPU lane (TURBOJAX_TPU_TESTS=1): leave the axon TPU backend selected so the
+# performance-gate tests (tests/test_perf_gate.py) measure real hardware;
+# everything else should be run in the default CPU lane.
+_TPU_LANE = os.environ.get("TURBOJAX_TPU_TESTS") == "1"
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the suite compiles ~40 scan-loop programs; the
 # cache turns repeat runs (and -x reruns) from ~10 min into ~2 min.
