@@ -159,3 +159,145 @@ def test_distributed_gp_mll_pipeline(rng):
 
     gp = onp.NumpyGP("matern52", np.full(6, 0.5), 1.0, 1e-2).fit(x, y)
     np.testing.assert_allclose(mll_dist, gp.mll(), rtol=1e-9)
+
+
+def test_distributed_kernel_chol_never_materializes_dense(rng):
+    """In-shard kernel construction: the factor's per-device shard is the
+    (N/D, N) row block, and the compiled (SPMD-partitioned) program contains
+    no dense (N, N) tensor — the VERDICT-#2 memory contract: largest live
+    per-device array is O(N²/D)."""
+    n, d, n_dev, panel = 4096, 8, 8, 128
+    x = jnp.asarray(rng.rand(n, d), jnp.float32)
+    mesh = PAR.make_mesh(n_dev, axis="rows")
+    params = {
+        "lengthscale": jnp.full((d,), 0.5, jnp.float32),
+        "outputscale": jnp.asarray(1.0, jnp.float32),
+        "noise": jnp.asarray(1e-2, jnp.float32),
+    }
+
+    fn = jax.jit(lambda p, xx: DL.distributed_kernel_chol(p, xx, mesh, panel))
+    compiled = fn.lower(params, x).compile()
+    text = compiled.as_text()
+    assert f"f32[{n},{n}]" not in text, "dense N x N tensor found in per-device HLO"
+    assert f"f32[{n // n_dev},{n}]" in text, "expected the (N/D, N) row block"
+
+    chol = fn(params, x)
+    shard_shapes = {s.data.shape for s in chol.addressable_shards}
+    assert shard_shapes == {(n // n_dev, n)}
+
+
+def test_distributed_kernel_chol_matches_dense_build(rng):
+    """Factor from in-shard kernel rows == factor of the densely-built
+    matrix (same math, no N² residency)."""
+    from turbojax import kernels as K
+
+    n, d, panel = 64, 5, 8
+    x = jnp.asarray(rng.rand(n, d))
+    mesh = PAR.make_mesh(8, axis="rows")
+    params = {
+        "lengthscale": jnp.full((d,), 0.4),
+        "outputscale": jnp.asarray(1.3),
+        "noise": jnp.asarray(1e-2),
+    }
+    l_sharded = DL.distributed_kernel_chol(params, x, mesh, panel)
+    k_dense = K.matern52(params, x, x) + params["noise"] * jnp.eye(n)
+    l_ref = np.linalg.cholesky(np.asarray(k_dense))
+    np.testing.assert_allclose(np.asarray(l_sharded), l_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_distributed_mll_matches_dense_mll(rng):
+    """distributed_mll (one fused shard_map: in-shard kernel rows -> blocked
+    chol -> forward solve -> logdet) == gp.mll on the same data, and so do
+    its gradients w.r.t. the raw hyperparameters."""
+    from turbojax import gp as G
+    from turbojax import linalg as L
+    from turbojax.config import GPConfig
+
+    n, d = 64, 4
+    x = jnp.asarray(rng.rand(n, d))
+    y = jnp.asarray(np.sin(4 * rng.rand(n)))
+    y_std = (y - y.mean()) / y.std()
+    config = GPConfig(kernel="matern52")
+    raw = G.default_params(d, config, x.dtype)
+    mesh = PAR.make_mesh(8, axis="rows")
+
+    def f_dist(r):
+        return DL.distributed_mll(r, x, y_std, mesh, config, panel=8)
+
+    def f_dense(r):
+        return G.mll(r, x, y_std, L.row_mask(n, jnp.asarray(n)), config)
+
+    v1, g1 = jax.value_and_grad(f_dist)(raw)
+    v2, g2 = jax.value_and_grad(f_dense)(raw)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-9)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-10)
+
+
+def test_fit_distributed_gp_matches_dense_trajectory(rng):
+    """Hyperparameter FITTING at N >> one buffer: Adam on the distributed
+    MLL lands on the same hypers as Adam on the dense MLL (same init, same
+    step count), and the fitted posterior matches the dense-lane posterior.
+    N=4096 = 2x the flagship single-chip buffer (VERDICT #2 done-criterion);
+    f32 keeps the 1-core CPU lane affordable."""
+    import dataclasses
+
+    from turbojax import gp as G
+    from turbojax import linalg as L
+    from turbojax.config import GPConfig
+
+    n, d, n_dev, panel, steps = 4096, 6, 8, 256, 2
+    x = jnp.asarray(rng.rand(n, d), jnp.float32)
+    y = jnp.asarray(
+        np.sin(3 * rng.rand(n)) + 0.05 * rng.randn(n), jnp.float32
+    ) + jnp.sum(x, axis=1)
+    mesh = PAR.make_mesh(n_dev, axis="rows")
+    config = dataclasses.replace(
+        GPConfig(kernel="matern52"), fit_optimizer="adam", fit_maxiter=steps
+    )
+
+    dgp = DL.fit_distributed_gp(x, y, mesh, config, panel=panel)
+
+    # dense lane: same standardization, same init, same Adam trajectory
+    y_std = (y - y.mean()) / jnp.maximum(y.std(), 1e-8)
+    raw0 = G.default_params(d, config, x.dtype)
+    raw_dense, _ = G._fit_one(raw0, x, y_std, L.row_mask(n, jnp.asarray(n)), config)
+
+    for a, b in zip(jax.tree.leaves(dgp.raw), jax.tree.leaves(raw_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+    # fitted posterior parity vs the dense path at the distributed hypers
+    xs = jnp.asarray(rng.rand(16, d), jnp.float32)
+    mu_d, var_d = dgp.posterior(xs)
+    state = G.make_gp_state(x, y, L.row_mask(n, jnp.asarray(n)), dgp.raw, config)
+    mu_ref, var_ref = G.gp_posterior(state, xs, config)
+    np.testing.assert_allclose(np.asarray(mu_d), np.asarray(mu_ref), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var_d), np.asarray(var_ref), rtol=2e-3, atol=2e-4)
+
+
+def test_fit_gp_auto_routes_on_threshold(rng):
+    """fit_gp_auto: dense path below the memory threshold, distributed above
+    (forced via a tiny budget); both expose the same surface."""
+    n, d = 64, 3
+    x = jnp.asarray(rng.rand(n, d))
+    y = jnp.asarray(np.sin(3 * rng.rand(n)))
+    xs = jnp.asarray(rng.rand(5, d))
+    mesh = PAR.make_mesh(8, axis="rows")
+    import dataclasses
+
+    from turbojax.config import GPConfig
+
+    config = dataclasses.replace(GPConfig(), fit_optimizer="adam", fit_maxiter=3, fit_restarts=1)
+
+    assert not DL.should_distribute(n, mesh, x.dtype)  # tiny n: stay dense
+    assert not DL.should_distribute(10**6, None)  # no mesh: stay dense
+    assert DL.should_distribute(n, mesh, x.dtype, budget_bytes=1)
+
+    dense = DL.fit_gp_auto(jax.random.key(0), x, y, config, mesh)
+    assert isinstance(dense, DL._DenseGPAdapter)
+    dist = DL.fit_gp_auto(jax.random.key(0), x, y, config, mesh, panel=8, budget_bytes=1)
+    assert isinstance(dist, DL.DistributedGP)
+    for g in (dense, dist):
+        mu, var = g.posterior(xs)
+        assert np.isfinite(np.asarray(mu)).all() and (np.asarray(var) > 0).all()
+        assert np.isfinite(float(g.mll()))

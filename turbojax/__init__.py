@@ -17,6 +17,7 @@ from turbojax import acq as acq
 from turbojax import benchmarks as benchmarks
 from turbojax import checkpoint as checkpoint
 from turbojax import debug as debug
+from turbojax import distributed_linalg as distributed_linalg
 from turbojax import kernels as kernels
 from turbojax import linalg as linalg
 from turbojax import parallel as parallel
@@ -25,6 +26,7 @@ from turbojax import transforms as transforms
 from turbojax.api import Optimizer, Turbo1, TurboM, optimize
 from turbojax.bo import BOConfig, run_bo
 from turbojax.config import GPConfig, TRConfig
+from turbojax.distributed_linalg import DistributedGP, fit_distributed_gp, fit_gp_auto
 from turbojax.gp import GPParams, GPState, fit_gp, gp_posterior, make_gp_state
 from turbojax.runlog import RunLog
 from turbojax.trust_region import TRState, TurboConfig, run_turbo1
@@ -34,6 +36,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BOConfig",
+    "DistributedGP",
     "GPConfig",
     "GPParams",
     "GPState",
@@ -48,7 +51,10 @@ __all__ = [
     "benchmarks",
     "checkpoint",
     "debug",
+    "distributed_linalg",
+    "fit_distributed_gp",
     "fit_gp",
+    "fit_gp_auto",
     "gp_posterior",
     "kernels",
     "linalg",

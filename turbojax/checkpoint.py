@@ -84,3 +84,58 @@ def load_state(path: str, like: Any) -> Any:
 def load_meta(path: str) -> dict:
     with open(_base(path) + _SUFFIX_META) as f:
         return json.load(f).get("meta", {})
+
+
+def exists(path: str) -> bool:
+    import os
+
+    return os.path.exists(_base(path) + ".npz") and os.path.exists(
+        _base(path) + _SUFFIX_META
+    )
+
+
+class RunCheckpointer:
+    """Periodic save/restore for host-driven optimizer loops (SURVEY.md
+    §5.4: ``optimize(..., resume=path)``).
+
+    The saved unit is ``{"state": <loop carry pytree>, "trace": (it,)}`` —
+    since the RNG key lives in the carry, ``restore → continue`` reproduces
+    the exact uninterrupted trajectory (tests/test_checkpoint.py). Saves are
+    atomic (write temp + rename) so a crash mid-save can't corrupt the last
+    good checkpoint.
+    """
+
+    def __init__(self, path: str | None, every: int = 0):
+        self.path = path
+        self.every = every
+        self._last_saved = -1
+
+    def maybe_save(self, it_done: int, state: Any, trace) -> None:
+        """Save when ≥ ``every`` new iterations completed since last save.
+        ``it_done`` = iterations completed so far; ``trace`` their bests."""
+        if not self.path or not self.every:
+            return
+        if it_done - self._last_saved < self.every:
+            return
+        self.save(it_done, state, trace)
+
+    def save(self, it_done: int, state: Any, trace) -> None:
+        import os
+
+        tmp = _base(self.path) + ".tmp"
+        save_state(tmp, {"state": state, "trace": jnp.asarray(np.asarray(trace))},
+                   meta={"it": it_done})
+        os.replace(tmp + ".npz", _base(self.path) + ".npz")
+        os.replace(tmp + _SUFFIX_META, _base(self.path) + _SUFFIX_META)
+        self._last_saved = it_done
+
+    def try_restore(self, like_state: Any):
+        """Returns (state, trace_list) from the checkpoint, or None if the
+        file doesn't exist yet (fresh start). ``like_state`` provides the
+        carry treedef (e.g. from ``jax.eval_shape`` of the init)."""
+        if not self.path or not exists(self.path):
+            return None
+        like = {"state": like_state, "trace": jnp.zeros((0,))}
+        loaded = load_state(self.path, like)
+        self._last_saved = int(loaded["trace"].shape[0])
+        return loaded["state"], list(np.asarray(loaded["trace"]))
