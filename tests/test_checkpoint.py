@@ -81,3 +81,117 @@ def test_leaf_count_mismatch_raises(tmp_path):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Run-level checkpoint/resume for the one-shot drivers (VERDICT r1 missing
+# #3): a killed run restarts from its checkpoint and reproduces the exact
+# uninterrupted trajectory.
+
+
+class _Boom(Exception):
+    pass
+
+
+def _boom_at(k):
+    def cb(it, best):
+        if it == k:
+            raise _Boom()
+
+    return cb
+
+
+_GCFG = GPConfig(fit_restarts=2, fit_maxiter=3, fit_optimizer="adam")
+
+
+def _quad(x):
+    return jnp.sum((x - 0.4) ** 2, axis=-1)
+
+
+def test_run_bo_host_checkpoint_resume(tmp_path):
+    """Kill a checkpointing run_bo host loop mid-flight; resume; the full
+    incumbent trace and final best equal the uninterrupted run's exactly."""
+    import pytest
+
+    from turbojax.bo import BOConfig, run_bo
+
+    lb, ub = (0.0, 0.0), (1.0, 1.0)
+    cfg = BOConfig(n_init=4, max_evals=16, batch_size=2, n_candidates=64, fit_every=2)
+    key = jax.random.key(3)
+    ref = run_bo(key, _quad, lb, ub, cfg, _GCFG, host_loop=True)
+
+    path = str(tmp_path / "bo_ck")
+    with pytest.raises(_Boom):
+        run_bo(key, _quad, lb, ub, cfg, _GCFG, checkpoint_path=path,
+               checkpoint_every=1, on_iteration=_boom_at(3))
+    assert CK.exists(path)
+    res = run_bo(key, _quad, lb, ub, cfg, _GCFG, checkpoint_path=path,
+                 checkpoint_every=1, resume=True)
+    np.testing.assert_array_equal(
+        np.asarray(res.incumbent_trace), np.asarray(ref.incumbent_trace)
+    )
+    assert float(res.best_y) == float(ref.best_y)
+
+
+def test_run_turbo1_host_checkpoint_resume(tmp_path):
+    """Segmented TuRBO-1 host driver: killed + resumed == uninterrupted."""
+    import pytest
+
+    from turbojax.trust_region import run_turbo1_host
+
+    lb, ub = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
+    cfg = TurboConfig(n_init=4, max_evals=16, batch_size=2, n_candidates=16)
+    key = jax.random.key(5)
+    _, trace_ref = run_turbo1_host(key, _quad, lb, ub, cfg, _GCFG, checkpoint_every=2)
+
+    path = str(tmp_path / "t1_ck")
+    with pytest.raises(_Boom):
+        run_turbo1_host(key, _quad, lb, ub, cfg, _GCFG, checkpoint_path=path,
+                        checkpoint_every=2, on_iteration=_boom_at(3))
+    assert CK.exists(path)
+    carry, trace = run_turbo1_host(key, _quad, lb, ub, cfg, _GCFG,
+                                   checkpoint_path=path, checkpoint_every=2,
+                                   resume=True)
+    np.testing.assert_array_equal(np.asarray(trace), np.asarray(trace_ref))
+
+
+def test_run_turbom_host_checkpoint_resume(tmp_path):
+    """TuRBO-m host loop (bucketed, chunked dispatch): killed + resumed ==
+    uninterrupted, chunk boundaries and bucket growth included."""
+    import pytest
+
+    from turbojax.turbo_m import run_turbom
+
+    lb, ub = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
+    cfg = TurboConfig(n_init=4, max_evals=28, batch_size=2, n_candidates=16)
+    key = jax.random.key(7)
+    kw = dict(m=2, host_loop=True, scan_chunk=2)
+    _, trace_ref = run_turbom(key, _quad, lb, ub, cfg, _GCFG, **kw)
+
+    path = str(tmp_path / "tm_ck")
+    with pytest.raises(_Boom):
+        run_turbom(key, _quad, lb, ub, cfg, _GCFG, **kw, checkpoint_path=path,
+                   checkpoint_every=2, on_iteration=_boom_at(5))
+    assert CK.exists(path)
+    _, trace = run_turbom(key, _quad, lb, ub, cfg, _GCFG, **kw,
+                          checkpoint_path=path, checkpoint_every=2, resume=True)
+    np.testing.assert_array_equal(np.asarray(trace), np.asarray(trace_ref))
+
+
+def test_optimize_resume_kwarg(tmp_path):
+    """SURVEY §5.4 API shape: optimize(..., checkpoint_path, resume=True)
+    works end-to-end (fresh start writes checkpoints; resume restores)."""
+    from turbojax.api import optimize
+
+    path = str(tmp_path / "opt_ck")
+    kw = dict(
+        max_evals=14, method="turbo1", n_init=4, batch_size=2, seed=1,
+        gp_config=_GCFG, n_candidates=16,
+        checkpoint_path=path, checkpoint_every=2,
+    )
+    ref = optimize(_quad, (0.0, 0.0), (1.0, 1.0), **kw)
+    assert CK.exists(path)
+    # checkpoint now holds the FINISHED run; resuming returns it immediately
+    res = optimize(_quad, (0.0, 0.0), (1.0, 1.0), resume=True, **kw)
+    np.testing.assert_array_equal(res.incumbent_trace, ref.incumbent_trace)
+    assert res.best_y == ref.best_y

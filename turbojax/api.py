@@ -52,6 +52,9 @@ def optimize(
     fit_every: int = 1,
     n_candidates: Optional[int] = None,
     host_loop: Optional[bool] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> Result:
     """One-shot optimization of a jnp-expressible objective, fully on device.
 
@@ -61,6 +64,13 @@ def optimize(
     ``host_loop=None`` auto-selects: long runs with per-iteration refits
     compile one jitted step and loop on the host (identical math; the
     monolithic scan program otherwise strains the compiler — docs/DESIGN.md).
+
+    Checkpoint/resume (SURVEY.md §5.4): ``checkpoint_path`` +
+    ``checkpoint_every=k`` saves run state every k iterations;
+    ``resume=True`` restores from ``checkpoint_path`` when it exists and
+    continues the exact uninterrupted trajectory (fresh start otherwise).
+    Works for every method — checkpointing routes through the host/segmented
+    drivers automatically.
     """
     lb_t, ub_t = tuple(float(v) for v in lb), tuple(float(v) for v in ub)
     dim = len(lb_t)
@@ -75,7 +85,11 @@ def optimize(
             n_candidates=n_candidates or min(100 * dim, 5000),
         )
         hl = host_loop if host_loop is not None else (fit_every > 0 and cfg.n_iters > 40)
-        res = BO.run_bo(key, fn, lb_t, ub_t, cfg, gp_config, host_loop=hl)
+        res = BO.run_bo(
+            key, fn, lb_t, ub_t, cfg, gp_config, host_loop=hl,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            resume=resume,
+        )
         n = int(res.n)
         return Result(
             best_x=np.asarray(res.best_x), best_y=float(res.best_y),
@@ -88,7 +102,14 @@ def optimize(
         n_candidates=n_candidates, fit_every=fit_every, tr=tr_config,
     )
     if method == "turbo1":
-        carry, trace = TR.run_turbo1(key, fn, lb_t, ub_t, cfg, gp_config)
+        if checkpoint_path and (checkpoint_every or resume):
+            carry, trace = TR.run_turbo1_host(
+                key, fn, lb_t, ub_t, cfg, gp_config,
+                checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+                resume=resume,
+            )
+        else:
+            carry, trace = TR.run_turbo1(key, fn, lb_t, ub_t, cfg, gp_config)
         n = int(carry.n)
         lb_a, ub_a = np.asarray(lb_t), np.asarray(ub_t)
         return Result(
@@ -102,7 +123,11 @@ def optimize(
         from turbojax.turbo_m import run_turbom
 
         hl = host_loop if host_loop is not None else cfg.n_iters > 40
-        carries, trace = run_turbom(key, fn, lb_t, ub_t, cfg, gp_config, m=m, host_loop=hl)
+        carries, trace = run_turbom(
+            key, fn, lb_t, ub_t, cfg, gp_config, m=m, host_loop=hl,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            resume=resume,
+        )
         best_tr = int(jnp.argmin(carries.best_y))
         lb_a, ub_a = np.asarray(lb_t), np.asarray(ub_t)
         xs, ys = [], []

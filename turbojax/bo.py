@@ -195,6 +195,9 @@ def run_bo(
     fixed_params: Optional[G.GPParams] = None,
     host_loop: bool = False,
     on_iteration=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> BOResult:
     """Run the BO loop — as one compiled ``lax.scan`` program [B:5]
     (default) or with a single jitted step driven from the host
@@ -202,9 +205,21 @@ def run_bo(
     use it when per-iteration refits make the monolithic scan program too
     large for the compiler, e.g. L-BFGS fits over 100 iterations).
     ``on_iteration`` (host mode only): per-iteration ``(it, best)`` logging
-    callback (SURVEY.md §5.5)."""
+    callback (SURVEY.md §5.5).
+
+    Checkpointing (SURVEY.md §5.4; host mode): ``checkpoint_path`` +
+    ``checkpoint_every=k`` saves the loop carry every k iterations;
+    ``resume=True`` restores from ``checkpoint_path`` if it exists (fresh
+    start otherwise) and reproduces the uninterrupted trajectory exactly —
+    the RNG key is part of the carry. Requesting checkpointing forces the
+    host driver (a monolithic scan can't save mid-flight)."""
+    if checkpoint_path and (checkpoint_every or resume):
+        host_loop = True
     if host_loop:
-        return _run_bo_host(key, fn, tuple(lb), tuple(ub), bo, config, n_max, fixed_params, on_iteration)
+        return _run_bo_host(
+            key, fn, tuple(lb), tuple(ub), bo, config, n_max, fixed_params,
+            on_iteration, checkpoint_path, checkpoint_every, resume,
+        )
     return _run_bo_scan(key, fn, tuple(lb), tuple(ub), bo, config, n_max, fixed_params)
 
 
@@ -234,21 +249,33 @@ def _run_bo_scan(
     return _bo_result(carry, lb, ub, trace, n_max)
 
 
-def _run_bo_host(key, fn, lb, ub, bo, config, n_max, fixed_params, on_iteration=None) -> BOResult:
+def _run_bo_host(key, fn, lb, ub, bo, config, n_max, fixed_params, on_iteration=None,
+                 checkpoint_path=None, checkpoint_every=0, resume=False) -> BOResult:
     import numpy as np
 
+    from turbojax.checkpoint import RunCheckpointer
+
     n_max = n_max or bo.n_init + bo.n_iters * bo.batch_size
-    init = jax.jit(
-        lambda k: _bo_init(k, fn, lb, ub, bo, config, n_max, fixed_params)
-    )
-    carry = init(key)
+    ckpt = RunCheckpointer(checkpoint_path, checkpoint_every)
+    carry, trace = None, []
+    if resume:
+        like = jax.eval_shape(
+            lambda k: _bo_init(k, fn, lb, ub, bo, config, n_max, fixed_params), key
+        )
+        restored = ckpt.try_restore(like)
+        if restored is not None:
+            carry, trace = restored
+    if carry is None:
+        carry = jax.jit(
+            lambda k: _bo_init(k, fn, lb, ub, bo, config, n_max, fixed_params)
+        )(key)
     step = jax.jit(_make_bo_step(fn, lb, ub, bo, config, n_max))
-    trace = []
-    for it in range(bo.n_iters):
+    for it in range(len(trace), bo.n_iters):
         carry, best = step(carry, jnp.asarray(it))
         trace.append(best)
         if on_iteration is not None:
             on_iteration(it, float(best))
+        ckpt.maybe_save(it + 1, carry, trace)
     trace_a = jnp.asarray(np.asarray(jax.device_get(trace)))
     return jax.jit(lambda c, t: _bo_result(c, lb, ub, t, n_max))(carry, trace_a)
 

@@ -47,6 +47,11 @@ class TurboConfig:
     batch_size: int = 10
     n_candidates: Optional[int] = None  # default min(100 d, 5000) [R]
     fit_every: int = 1
+    local_frac: float = 0.0  # fraction of TR candidates drawn as Gaussian
+    # perturbations around the incumbent (σ = local_sigma × TR half-width)
+    # instead of uniform Sobol-in-box — densifies the pool near the center
+    # where high-d Sobol spacing starves refinement (sampling.tr_candidates)
+    local_sigma: float = 0.3
     ts_chunk: Optional[int] = None
     ts_sampler: str = "exact"  # "exact" (chunked joint chol) | "rff" (C13 option)
     rff_features: int = 1024
@@ -197,7 +202,9 @@ def turbo_propose(
         best_idx = jnp.argmin(jnp.where(mask, c.y_buf, jnp.inf))
         center = c.x_buf[best_idx]
         ls = jnp.broadcast_to(state.params["lengthscale"], (dim,))
-        cands = S.tr_candidates(k_cand, center, c.tr.length, ls, n_cand)
+        cands = S.tr_candidates(
+            k_cand, center, c.tr.length, ls, n_cand, cfg.local_frac, cfg.local_sigma
+        )
         if cfg.ts_sampler == "rff":
             xs, _ = A.rff_thompson_select(k_ts, state, cands, q, config, cfg.rff_features)
         else:
@@ -278,6 +285,27 @@ def turbo_absorb(
     return carry
 
 
+def _make_t1_step(fn, lb, ub, cfg: TurboConfig, config: GPConfig, n_loc: int):
+    """One TuRBO-1 iteration (shared by the monolithic scan and the
+    segmented/checkpointable host driver)."""
+    dim = len(lb)
+    lb_a = jnp.asarray(lb, jnp.float32)
+    ub_a = jnp.asarray(ub, jnp.float32)
+    fail_tol = cfg.tr.resolved_fail_tol(dim, cfg.batch_size)
+
+    def step(carry: TurboCarry, _):
+        k_prop, k_restart, k_next = jax.random.split(carry.key, 3)
+        carry = carry._replace(key=k_next)
+        carry, xs, in_search = turbo_propose(carry, k_prop, cfg, config)
+        ys = fn(T.from_unit_cube(xs, lb_a, ub_a)).astype(xs.dtype)
+        ys = T.impute_failures(ys, carry.y_buf, L.row_mask(n_loc, carry.n))
+        accept = jnp.ones((cfg.batch_size,), jnp.bool_)
+        carry = turbo_absorb(carry, xs, ys, accept, in_search, cfg, config, fail_tol, k_restart)
+        return carry, carry.best_y
+
+    return step
+
+
 @partial(jax.jit, static_argnames=("fn", "cfg", "config", "n_loc"))
 def run_turbo1(
     key: Array,
@@ -293,22 +321,66 @@ def run_turbo1(
     Returns (carry, incumbent_trace) with the global best across restarts.
     """
     dim = len(lb)
-    lb_a = jnp.asarray(lb, jnp.float32)
-    ub_a = jnp.asarray(ub, jnp.float32)
     n_loc = n_loc or cfg.n_init + cfg.n_iters * cfg.batch_size
-    fail_tol = cfg.tr.resolved_fail_tol(dim, cfg.batch_size)
-
     carry0 = make_turbo_carry(key, dim, n_loc, cfg, config)
-
-    def step(carry: TurboCarry, _):
-        k_prop, k_restart, k_next = jax.random.split(carry.key, 3)
-        carry = carry._replace(key=k_next)
-        carry, xs, in_search = turbo_propose(carry, k_prop, cfg, config)
-        ys = fn(T.from_unit_cube(xs, lb_a, ub_a)).astype(xs.dtype)
-        ys = T.impute_failures(ys, carry.y_buf, L.row_mask(n_loc, carry.n))
-        accept = jnp.ones((cfg.batch_size,), jnp.bool_)
-        carry = turbo_absorb(carry, xs, ys, accept, in_search, cfg, config, fail_tol, k_restart)
-        return carry, carry.best_y
-
+    step = _make_t1_step(fn, lb, ub, cfg, config, n_loc)
     carry, trace = lax.scan(step, carry0, None, length=cfg.n_iters)
     return carry, trace
+
+
+def run_turbo1_host(
+    key: Array,
+    fn: Callable[[Array], Array],
+    lb: Tuple[float, ...],
+    ub: Tuple[float, ...],
+    cfg: TurboConfig,
+    config: GPConfig = GPConfig(),
+    n_loc: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    on_iteration=None,
+):
+    """TuRBO-1 driven from the host in jitted ``lax.scan`` segments —
+    identical math to ``run_turbo1`` (same step function), but the run can
+    checkpoint between segments and resume deterministically (SURVEY.md
+    §5.4: the RNG key lives in the carry). Segment length =
+    ``checkpoint_every`` (or the whole budget when 0)."""
+    import numpy as np
+
+    from turbojax.checkpoint import RunCheckpointer
+
+    lb, ub = tuple(lb), tuple(ub)
+    dim = len(lb)
+    n_loc = n_loc or cfg.n_init + cfg.n_iters * cfg.batch_size
+    step = _make_t1_step(fn, lb, ub, cfg, config, n_loc)
+
+    @partial(jax.jit, static_argnames=("length",))
+    def run_seg(carry, length: int):
+        return lax.scan(step, carry, None, length=length)
+
+    ckpt = RunCheckpointer(checkpoint_path, checkpoint_every)
+    carry, trace = None, []
+    if resume:
+        like = jax.eval_shape(lambda k: make_turbo_carry(k, dim, n_loc, cfg, config), key)
+        restored = ckpt.try_restore(like)
+        if restored is not None:
+            carry, trace = restored
+    if carry is None:
+        carry = jax.jit(
+            lambda k: make_turbo_carry(k, dim, n_loc, cfg, config)
+        )(key)
+
+    it = len(trace)
+    seg_default = checkpoint_every or cfg.n_iters
+    while it < cfg.n_iters:
+        seg = min(seg_default, cfg.n_iters - it)
+        carry, bests = run_seg(carry, seg)
+        bests = np.asarray(jax.device_get(bests))
+        for j, b in enumerate(bests):
+            if on_iteration is not None:
+                on_iteration(it + j, float(b))
+            trace.append(b)
+        it += seg
+        ckpt.maybe_save(it, carry, trace)
+    return carry, jnp.asarray(np.asarray(trace))

@@ -82,7 +82,9 @@ def _tr_proposals_and_values(
         best_idx = jnp.argmin(jnp.where(mask, c.y_buf, jnp.inf))
         center = c.x_buf[best_idx]
         ls = jnp.broadcast_to(state.params["lengthscale"], (dim,))
-        cands = S.tr_candidates(k_cand, center, c.tr.length, ls, n_cand)
+        cands = S.tr_candidates(
+            k_cand, center, c.tr.length, ls, n_cand, cfg.local_frac, cfg.local_sigma
+        )
         values = A.thompson_samples(k_ts, state, cands, q, config, cfg.ts_chunk)
         return c, cands, values
 
@@ -122,6 +124,10 @@ def run_turbom(
     n_loc: Optional[int] = None,
     host_loop: bool = False,
     on_iteration=None,
+    scan_chunk: int = 16,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     """TuRBO-m: vmapped per-TR fits + global TS allocation (config 5
     [B:11]). Returns (carries, incumbent_trace); the run-level best is
@@ -133,9 +139,21 @@ def run_turbom(
     binary (use it for very large (m, N_loc, n_cand) products where the
     monolithic scan program strains the compiler/worker). ``on_iteration``
     (host mode only): callback ``(iteration, best) -> None`` for run logging
-    (SURVEY.md §5.5), e.g. ``RunLog.log``."""
+    (SURVEY.md §5.5), e.g. ``RunLog.log``.
+
+    Checkpointing (SURVEY.md §5.4; host mode): ``checkpoint_path`` +
+    ``checkpoint_every=k`` saves the carries every ≥k iterations (at chunk
+    boundaries); ``resume=True`` restores and reproduces the uninterrupted
+    trajectory exactly (the per-TR RNG keys live in the carries). A
+    checkpoint request forces the host driver."""
+    if checkpoint_path and (checkpoint_every or resume):
+        host_loop = True
     if host_loop:
-        return _run_turbom_host(key, fn, tuple(lb), tuple(ub), cfg, config, m, n_loc, on_iteration)
+        return _run_turbom_host(
+            key, fn, tuple(lb), tuple(ub), cfg, config, m, n_loc, on_iteration,
+            scan_chunk=scan_chunk, checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, resume=resume,
+        )
     return _run_turbom_scan(key, fn, tuple(lb), tuple(ub), cfg, config, m, n_loc)
 
 
@@ -178,43 +196,76 @@ def _bucket_ladder(cap0: int, n_final: int):
     return caps
 
 
-def _precompile_buckets(fn, lb, ub, cfg, config, m, carries0, caps):
-    """Warm the persistent XLA cache for future bucket capacities in a
-    daemon thread, overlapping their compiles with current-bucket
-    execution. Uses a private jit instance (no cache races with the main
-    thread); the main thread's step() then re-lowers cheaply and hits the
-    compiled-program cache (docs/ROADMAP.md item 2)."""
-    import threading
+class _AOTLadder:
+    """AOT-compiled per-bucket programs for the host loop (ROADMAP item 2,
+    VERDICT r1 weak #1).
 
-    spec0 = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), carries0)
+    Two programs per bucket capacity: ``step`` (one iteration) and ``scan``
+    (``chunk`` iterations fused into one ``lax.scan`` dispatch — amortizes
+    the per-call host→device round-trip, which dominates through the axon
+    remote tunnel). A single background thread compiles the ladder in order
+    (``jit(...).lower().compile()``), overlapping future-bucket compiles
+    with current-bucket execution; ``get`` returns the finished executable,
+    blocking only if the needed program isn't ready yet ("properly
+    awaited", not best-effort cache warming)."""
 
-    def grow_spec(spec, cap):
-        x = jax.ShapeDtypeStruct((m, cap) + spec.x_buf.shape[2:], spec.x_buf.dtype)
-        y = jax.ShapeDtypeStruct((m, cap), spec.y_buf.dtype)
+    def __init__(self, step_fn, spec0, m: int, caps, chunk: int):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._step_fn = step_fn
+        self._chunk = chunk
+        self._spec0 = spec0
+        self._m = m
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._futs = {}
+        for cap in caps:
+            for kind in ("step", "scan"):
+                self._futs[(cap, kind)] = self._pool.submit(self._compile, cap, kind)
+
+    def _grow_spec(self, cap: int):
+        spec = self._spec0
+        x = jax.ShapeDtypeStruct((self._m, cap) + spec.x_buf.shape[2:], spec.x_buf.dtype)
+        y = jax.ShapeDtypeStruct((self._m, cap), spec.y_buf.dtype)
         return spec._replace(x_buf=x, y_buf=y)
 
-    def work():
-        try:
-            step = jax.jit(_make_step(fn, lb, ub, cfg, config, m))
-            for cap in caps[1:]:
-                step.lower(grow_spec(spec0, cap)).compile()
-        except Exception:  # best-effort warm-up; the main path compiles anyway
-            pass
+    def _compile(self, cap: int, kind: str):
+        if kind == "step":
+            fn = self._step_fn
+        else:
+            fn = lambda c: lax.scan(  # noqa: E731
+                lambda c2, _: self._step_fn(c2), c, None, length=self._chunk
+            )
+        return jax.jit(fn).lower(self._grow_spec(cap)).compile()
 
-    t = threading.Thread(target=work, daemon=True)
-    t.start()
-    return t
+    def get(self, cap: int, kind: str):
+        fut = self._futs.get((cap, kind))
+        if fut is None:  # off-ladder capacity (custom n_loc): compile now
+            fut = self._pool.submit(self._compile, cap, kind)
+            self._futs[(cap, kind)] = fut
+        return fut.result()
 
 
-def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None):
+def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
+                     scan_chunk: int = 16, checkpoint_path=None,
+                     checkpoint_every: int = 0, resume: bool = False):
     """Host driver with **bucketed buffer growth**: buffers start at the
     smallest power-of-2 capacity and double as histories fill. Early
     iterations then factorize 256² matrices instead of the final 2048² —
-    the O(cap³) fit cost tracks the actual data size (one cached compile
-    per bucket; measured ≈4× faster full config-5 run vs fixed buffers).
-    Future buckets' XLA compiles are warmed concurrently in a daemon
-    thread (``_precompile_buckets``)."""
+    the O(cap³) fit cost tracks the actual data size (measured ≈4× faster
+    full config-5 run vs fixed buffers).
+
+    Dispatch is chunked: whenever ≥``scan_chunk`` iterations fit in the
+    current bucket, they run as ONE compiled ``lax.scan`` dispatch instead
+    of ``scan_chunk`` host round-trips; all bucket programs are AOT-compiled
+    concurrently with execution (``_AOTLadder``). The persistent XLA cache
+    makes repeat runs' compiles disk hits."""
     import numpy as np
+
+    from turbojax.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from turbojax.checkpoint import RunCheckpointer
 
     dim = len(lb)
     q = cfg.batch_size
@@ -225,20 +276,46 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None):
     cap = min(cap, n_final)
 
     keys0 = jax.random.split(key, m)
-    carries = jax.jit(jax.vmap(lambda k: make_turbo_carry(k, dim, cap, cfg, config)))(keys0)
-    step = jax.jit(_make_step(fn, lb, ub, cfg, config, m))  # retraces per bucket shape
-    _precompile_buckets(fn, lb, ub, cfg, config, m, carries, _bucket_ladder(cap, n_final))
+    mk = lambda ks: jax.vmap(lambda k: make_turbo_carry(k, dim, cap, cfg, config))(ks)  # noqa: E731
+    ckpt = RunCheckpointer(checkpoint_path, checkpoint_every)
+    carries, trace = None, []
+    if resume:
+        restored = ckpt.try_restore(jax.eval_shape(mk, keys0))
+        if restored is not None:
+            carries, trace = restored
+            cap = carries.x_buf.shape[1]  # resume inside the saved bucket
+    if carries is None:
+        carries = jax.jit(mk)(keys0)
+    spec0 = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), carries)
+    ladder = _AOTLadder(
+        _make_step(fn, lb, ub, cfg, config, m), spec0, m,
+        _bucket_ladder(cap, n_final), scan_chunk,
+    )
 
-    trace = []
-    for it in range(cfg.n_iters):
+    it = len(trace)
+    while it < cfg.n_iters:
         n_max_now = int(jnp.max(carries.n))
         if n_max_now + q > cap and cap < n_final:
             cap = min(max(cap * 2, n_max_now + q), n_final)
             carries = _grow_carries(carries, cap)
-        carries, best = step(carries)
-        trace.append(best)
-        if on_iteration is not None:
-            on_iteration(it, float(best))
+            n_max_now = int(jnp.max(carries.n))
+        # iterations guaranteed to fit in this bucket (each adds ≤ q per TR)
+        k_fit = (cap - n_max_now) // q if cap < n_final else cfg.n_iters - it
+        if scan_chunk > 1 and min(k_fit, cfg.n_iters - it) >= scan_chunk:
+            carries, bests = ladder.get(cap, "scan")(carries)
+            bests = np.asarray(jax.device_get(bests))
+            for j, b in enumerate(bests):
+                if on_iteration is not None:
+                    on_iteration(it + j, float(b))
+                trace.append(b)
+            it += scan_chunk
+        else:
+            carries, best = ladder.get(cap, "step")(carries)
+            trace.append(best)
+            if on_iteration is not None:
+                on_iteration(it, float(best))
+            it += 1
+        ckpt.maybe_save(it, carries, trace)
     return carries, jnp.asarray(np.asarray(jax.device_get(trace)))
 
 
