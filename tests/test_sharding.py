@@ -76,12 +76,22 @@ def test_sharded_thompson_no_duplicates(rng, key):
     assert np.all(np.isfinite(np.asarray(vals)))
 
 
-def test_sharded_thompson_mesh1_matches_marginals(rng, key):
+def test_sharded_thompson_mesh1_matches_unsharded(rng, key):
+    """On a mesh of 1 the sharded TS path must reproduce the unsharded
+    sampler bit-for-bit (same fold_in(key, 0) stream → same draws → same
+    without-replacement selection). The unsharded sampler's distribution is
+    verified against the analytic posterior in test_acq.py, so equality
+    here transfers that guarantee to the sharded path."""
     state = _state(rng)
     cands = jnp.asarray(rng.rand(16, 2))
+    q = 3
     mesh = PAR.make_mesh(1)
-    pts, vals = PAR.sharded_thompson_select(key, state, cands, 3, mesh, CFG)
-    assert pts.shape == (3, 2)
+    pts, vals = PAR.sharded_thompson_select(key, state, cands, q, mesh, CFG)
+
+    draws = A.thompson_samples(jax.random.fold_in(key, 0), state, cands, q, CFG)
+    idxs, vals_ref = A.select_q_batch(draws)
+    np.testing.assert_array_equal(np.asarray(pts), np.asarray(cands)[np.asarray(idxs)])
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(vals_ref), rtol=1e-12)
 
 
 def test_sharded_turbom_step_runs(key):

@@ -181,17 +181,23 @@ def _rff_phi(x: Array, omega: Array, b: Array, lengthscale: Array, outputscale: 
     return jnp.sqrt(2.0 * outputscale / m) * jnp.cos(proj)
 
 
-def rff_thompson_select(
+def rff_paths(
     key: Array,
     state: G.GPState,
     xs: Array,
-    q: int,
+    n_paths: int,
     config: GPConfig,
     n_features: int = 1024,
-) -> Tuple[Array, Array]:
-    """Weight-space TS: condition w | data in feature space, draw q joint
-    paths, select q candidates without replacement. Enable via
-    ``ts_sampler="rff"`` in the loop configs."""
+) -> Array:
+    """Draw ``n_paths`` *globally joint* posterior sample paths at ``xs``
+    via weight-space conditioning (original y units, (n_paths, n_cand)).
+
+    Known failure mode — **variance starvation**: with M features the prior
+    is a rank-M degenerate GP, so when the active data size n approaches M
+    (or candidates sit far outside the data span) the sampled paths
+    under-disperse relative to the exact posterior. Characterized in
+    tests/test_acq.py::test_rff_variance_starvation_characterization; keep
+    M ≳ 4·n when enabling ``ts_sampler="rff"``."""
     kf, kw = jax.random.split(key)
     p = state.params
     dim = xs.shape[-1]
@@ -208,13 +214,28 @@ def rff_thompson_select(
     resid = state.chol @ (state.chol.T @ state.alpha)
     resid = jnp.where(state.mask, resid, 0.0)
     mean_w = L.cho_solve(chol_a, phi_x.T @ resid / noise)
-    z = jax.random.normal(kw, (q, n_features), xs.dtype)
+    z = jax.random.normal(kw, (n_paths, n_features), xs.dtype)
     w = mean_w[None, :] + jax.scipy.linalg.solve_triangular(
         chol_a, z.T, lower=True, trans=1
-    ).T  # (q, M): mean + A^{-1/2} z via L⁻ᵀ z
+    ).T  # (n_paths, M): mean + A^{-1/2} z via L⁻ᵀ z
 
     phi_c = _rff_phi(xs, omega, b, ls, p["outputscale"])  # (n_cand, M)
-    draws_std = p["mean"] + w @ phi_c.T  # (q, n_cand)
-    draws = draws_std * state.y_std + state.y_mean
+    draws_std = p["mean"] + w @ phi_c.T  # (n_paths, n_cand)
+    return draws_std * state.y_std + state.y_mean
+
+
+def rff_thompson_select(
+    key: Array,
+    state: G.GPState,
+    xs: Array,
+    q: int,
+    config: GPConfig,
+    n_features: int = 1024,
+) -> Tuple[Array, Array]:
+    """Weight-space TS: condition w | data in feature space, draw q joint
+    paths, select q candidates without replacement. Enable via
+    ``ts_sampler="rff"`` in the loop configs (see ``rff_paths`` for the
+    variance-starvation caveat that keeps it off by default)."""
+    draws = rff_paths(key, state, xs, q, config, n_features)
     idxs, vals = select_q_batch(draws)
     return xs[idxs], vals
