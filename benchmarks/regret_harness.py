@@ -25,7 +25,8 @@ import time
 import numpy as np
 
 
-def run_config(name: str, seed: int, max_evals: int | None = None, m: int | None = None):
+def run_config(name: str, seed: int, max_evals: int | None = None, m: int | None = None,
+               n_candidates: int | None = None):
     import dataclasses
 
     import jax
@@ -43,6 +44,13 @@ def run_config(name: str, seed: int, max_evals: int | None = None, m: int | None
             cfg = dataclasses.replace(cfg, bo=dataclasses.replace(cfg.bo, max_evals=max_evals))
         if cfg.turbo is not None:
             cfg = dataclasses.replace(cfg, turbo=dataclasses.replace(cfg.turbo, max_evals=max_evals))
+    if n_candidates is not None:  # reduced-budget golden runs on the CPU lane
+        if cfg.bo is not None:
+            cfg = dataclasses.replace(cfg, bo=dataclasses.replace(cfg.bo, n_candidates=n_candidates))
+        if cfg.turbo is not None:
+            cfg = dataclasses.replace(
+                cfg, turbo=dataclasses.replace(cfg.turbo, n_candidates=n_candidates)
+            )
     b = B.get_benchmark(cfg.benchmark)
     key = jax.random.key(seed)
     t0 = time.perf_counter()

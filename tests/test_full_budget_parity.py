@@ -1,0 +1,57 @@
+"""Full-budget regret parity (VERDICT r1 missing #4; BASELINE.md secondary
+metric): TuRBO-1 on Ackley-10D at the FULL 1000-evaluation budget [B:10],
+≥5 seeds, asserted against the independent numpy TuRBO-1 oracle — the
+round-1 suite only asserted reduced budgets (100 evals).
+
+TPU lane only (TURBOJAX_TPU_TESTS=1): our side runs the compiled scan on
+the chip (~3 s/seed post-compile); the oracle side is ~75 s/seed of host
+numpy. Total ~5 min — run once per round:
+
+    TURBOJAX_TPU_TESTS=1 python -m pytest tests/test_full_budget_parity.py -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("TURBOJAX_TPU_TESTS") != "1" or jax.default_backend() != "tpu",
+    reason="full-budget parity runs in the TPU lane (TURBOJAX_TPU_TESTS=1)",
+)
+
+SEEDS = [0, 1, 2, 3, 4]
+ORACLE_SEEDS = [0, 1, 2]
+
+
+def test_config4_full_budget_regret_parity():
+    from benchmarks.regret_harness import run_config
+    from oracle.numpy_turbo import run_turbo1_oracle
+    from turbojax import benchmarks as B
+
+    ours = [run_config("turbo1_ackley10", s)["simple_regret"] for s in SEEDS]
+
+    b = B.get_benchmark("ackley10")
+    fn_np = lambda x: np.asarray(b.fn(x))  # noqa: E731
+    oracle = []
+    for s in ORACLE_SEEDS:
+        _, by, _ = run_turbo1_oracle(
+            fn_np, b.lb, b.ub, n_init=20, max_evals=1000, batch_size=10,
+            n_candidates=1000, seed=s,
+        )
+        oracle.append(by - b.optimum)
+
+    med_ours, med_oracle = float(np.median(ours)), float(np.median(oracle))
+    # parity band: same regret regime at the full budget. Ackley-10 TuRBO
+    # results are heavy-tailed across seeds (local minima at ~2-5); the
+    # band asserts our median is within +2.0 of the oracle median and in
+    # the canonical published range (< 5.5), and that both crush random
+    # search (~13-15 at 1000 points).
+    assert med_ours < 5.5, f"median regret {med_ours:.2f} out of canonical range"
+    assert med_ours <= med_oracle + 2.0, (
+        f"full-budget parity violated: ours {med_ours:.2f} vs oracle {med_oracle:.2f} "
+        f"(ours per-seed: {[round(r, 2) for r in ours]})"
+    )
+    assert med_oracle < 13.0  # oracle sanity: it is actually optimizing

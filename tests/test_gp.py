@@ -187,3 +187,50 @@ def test_posterior_cov_consistent_with_var(rng):
     mu_c, cov = G.posterior_cov(state, xs, CFG)
     np.testing.assert_allclose(np.asarray(mu_v), np.asarray(mu_c), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(var), np.diag(np.asarray(cov)), rtol=1e-6, atol=1e-10)
+
+
+@pytest.mark.parametrize("optimizer", ["grid", "grid+adam"])
+def test_fit_grid_modes(rng, key, optimizer):
+    """Grid MLL selection (the CPU oracle's trainer made TPU-native: 15
+    vmapped Cholesky factorizations, argmax) and its Adam-polished variant
+    produce competitive MLLs and finite hypers."""
+    n, d, n_max = 60, 2, 64
+    x = rng.rand(n, d)
+    k = onp.kernel_matrix("matern52", x, x, np.full(d, 0.3), 1.0) + 1e-4 * np.eye(n)
+    y = np.linalg.cholesky(k) @ rng.randn(n)
+    x_buf = jnp.zeros((n_max, d)).at[:n].set(jnp.asarray(x))
+    y_buf = jnp.zeros((n_max,)).at[:n].set(jnp.asarray(y))
+    mask = jnp.arange(n_max) < n
+    cfg = GPConfig(kernel="matern52", fit_optimizer=optimizer, fit_maxiter_warm=10)
+    state = G.fit_gp(key, x_buf, y_buf, mask, cfg)
+
+    for leaf in jax.tree.leaves(state.raw):
+        assert np.isfinite(np.asarray(leaf)).all()
+    y_std, _, _ = T.standardize(y_buf, mask)
+    fitted_mll = float(G.mll(state.raw, x_buf, y_std, mask, cfg))
+    # must beat the WORST grid combo comfortably and be in a sane range
+    inits = G.grid_params(d, cfg, y_buf.dtype)
+    grid_mlls = jax.vmap(lambda r: G.mll(r, x_buf, y_std, mask, cfg))(inits)
+    assert fitted_mll >= float(jnp.max(grid_mlls)) - 1e-6  # argmax or better
+
+
+def test_fit_gp_never_returns_nan_hypers(rng, key):
+    """NaN robustness (the round-2 full-budget regret bug): a poisoned warm
+    start plus data that defeats some restarts must still yield finite
+    fitted hypers — fit_gp's invariant."""
+    n, d, n_max = 24, 2, 32
+    # pathological data: many near-duplicate rows (rank-deficient K)
+    base = rng.rand(4, d)
+    x = np.repeat(base, 6, axis=0) + 1e-7 * rng.randn(n, d)
+    y = np.repeat(rng.randn(4), 6) + 1e-7 * rng.randn(n)
+    x_buf = jnp.zeros((n_max, d)).at[:n].set(jnp.asarray(x))
+    y_buf = jnp.zeros((n_max,)).at[:n].set(jnp.asarray(y))
+    mask = jnp.arange(n_max) < n
+    cfg = GPConfig(fit_optimizer="adam", fit_maxiter=15, fit_restarts=2)
+
+    nan_warm = jax.tree.map(
+        lambda a: jnp.full_like(a, jnp.nan), G.default_params(d, cfg, jnp.float64)
+    )
+    state = G.fit_gp(key, x_buf, y_buf, mask, cfg, warm_start=nan_warm)
+    for leaf in jax.tree.leaves(state.raw):
+        assert np.isfinite(np.asarray(leaf)).all(), "fit_gp returned non-finite hypers"

@@ -93,7 +93,7 @@ def thompson_samples(
         bumped = cov + (1e-6 * cmax) * jnp.eye(chunk.shape[0], dtype=cov.dtype)
         l_cov = jnp.linalg.cholesky(bumped)
         z = jax.random.normal(k, (q, chunk.shape[0]), dtype=cov.dtype)
-        return mu[None, :] + z @ l_cov.T
+        return mu[None, :] + jnp.matmul(z, l_cov.T, precision=jax.lax.Precision.HIGHEST)
 
     if chunk_size is not None and m > chunk_size and m % chunk_size == 0:
         n_chunks = m // chunk_size
@@ -208,7 +208,7 @@ def rff_paths(
     phi_x = jnp.where(state.mask[:, None], phi_x, 0.0)
     noise = p["noise"]
     # A = ΦᵀΦ/σ² + I ;  w | y ~ N(A⁻¹ Φᵀ r / σ², A⁻¹), r = y_std − mean
-    a_mat = phi_x.T @ phi_x / noise + jnp.eye(n_features, dtype=xs.dtype)
+    a_mat = jnp.matmul(phi_x.T, phi_x, precision=jax.lax.Precision.HIGHEST) / noise + jnp.eye(n_features, dtype=xs.dtype)
     chol_a = jnp.linalg.cholesky(a_mat)
     # recover the standardized residual from the cached solve: r = L Lᵀ α
     resid = state.chol @ (state.chol.T @ state.alpha)

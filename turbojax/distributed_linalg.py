@@ -53,6 +53,10 @@ from turbojax.config import GPConfig
 
 Array = jax.Array
 
+#: full-f32 MXU passes for the factorization/solve GEMMs — the TPU default
+#: reduced-precision pass breaks cancellation-heavy updates (see gp._HI)
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _check(n: int, n_dev: int, panel: int) -> int:
     assert n % n_dev == 0, "N must divide the mesh size"
@@ -92,10 +96,12 @@ def _local_chol(a_loc: Array, axis: str, row0, rows: int, panel: int, n: int,
             if t0 < n:
                 lcol_m = jnp.where((jnp.arange(n) >= t0)[:, None], lcol, 0.0)
                 trail = lax.dynamic_slice(a_loc, (0, t0), (rows, n - t0))
-                a_loc = lax.dynamic_update_slice(a_loc, trail - my_l @ lcol_m[t0:].T, (0, t0))
+                a_loc = lax.dynamic_update_slice(
+                    a_loc, trail - jnp.matmul(my_l, lcol_m[t0:].T, precision=_HI), (0, t0)
+                )
         else:  # fori: full-width masked update keeps shapes static
             lcol_m = jnp.where((jnp.arange(n) >= c0 + panel)[:, None], lcol, 0.0)
-            a_loc = a_loc - my_l @ lcol_m.T
+            a_loc = a_loc - jnp.matmul(my_l, lcol_m.T, precision=_HI)
         return a_loc
 
     if unroll:
@@ -136,7 +142,7 @@ def _local_solve_lower(l_loc: Array, b_loc: Array, axis: str, row0, rows: int,
 
         below = (gidx >= c0 + panel)[:, None]
         l_col = lax.dynamic_slice(l_loc, (0, c0), (rows, panel))
-        r_loc = jnp.where(below, r_loc - l_col @ x_k, r_loc)
+        r_loc = jnp.where(below, r_loc - jnp.matmul(l_col, x_k, precision=_HI), r_loc)
         return r_loc, x_loc
 
     init = (b_loc, jnp.zeros_like(b_loc))
@@ -163,7 +169,7 @@ def _local_solve_upper_t(l_loc: Array, b_loc: Array, axis: str, row0, rows: int,
         l_col = lax.dynamic_slice(l_loc, (0, c0), (rows, panel))
         below = (gidx >= c0 + panel)[:, None]
         # cross term Σ_{j>panel} L[j,k]ᵀ x_j — local rows then psum
-        cross = lax.psum((jnp.where(below, l_col, 0.0)).T @ x_loc, axis)
+        cross = lax.psum(jnp.matmul(jnp.where(below, l_col, 0.0).T, x_loc, precision=_HI), axis)
         b_panel = _panel_psum(b_loc, c0, panel, row0, rows, axis)
         l_kk_panel = _panel_psum(l_col, c0, panel, row0, rows, axis)
         x_k = jax.scipy.linalg.solve_triangular(
@@ -275,7 +281,7 @@ def distributed_gp_posterior(
     v = distributed_solve_lower(l_mat, k_cross, mesh, panel)  # (N, m) sharded
 
     def local(k_cross_loc: Array, v_loc: Array, a_loc: Array):
-        mu_part = lax.psum(k_cross_loc.T @ a_loc[:, 0], axis)
+        mu_part = lax.psum(jnp.matmul(k_cross_loc.T, a_loc[:, 0], precision=_HI), axis)
         vsq_part = lax.psum(jnp.sum(v_loc * v_loc, axis=0), axis)
         return mu_part, vsq_part
 

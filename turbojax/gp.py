@@ -150,9 +150,21 @@ def _kernel_matrix(
     return k_mat
 
 
-def _masked_kernel_chol(params: Dict[str, Array], x_buf: Array, mask: Array, config: GPConfig) -> Array:
+def _masked_kernel_chol(
+    params: Dict[str, Array], x_buf: Array, mask: Array, config: GPConfig,
+    ladder: bool = False,
+) -> Array:
     k_mat = _kernel_matrix(params, x_buf, x_buf, config, add_noise=True)
     k_mat = L.mask_kernel_matrix(k_mat, mask)
+    if ladder:
+        # escalating-jitter rescue (C3 psd_safe_cholesky parity) for the
+        # cached factorization: near-duplicate rows at fitted hypers can
+        # defeat the fixed jitter in f32. Only the taken lax.cond branch
+        # executes here (not vmapped); the vmapped fit keeps the fixed
+        # fast path (a cond ladder degrades to compute-all under vmap).
+        return L.safe_cholesky(
+            k_mat, (config.jitter, 1e2 * config.jitter, 1e4 * config.jitter)
+        )
     return L.cholesky_jittered(k_mat, config.jitter)
 
 
@@ -163,7 +175,8 @@ def mll(raw: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GPConfig
     chol = _masked_kernel_chol(params, x_buf, mask, config)
     resid = jnp.where(mask, y_std - params["mean"], jnp.zeros_like(y_std))
     alpha = L.cho_solve(chol, resid)
-    quad = jnp.dot(resid, alpha)
+    quad = jnp.sum(resid * alpha)  # elementwise product: full-f32 on the VPU
+    # (a dot would take the MXU's default reduced-precision pass — see _HI)
     logdet = L.masked_logdet_from_chol(chol, mask)
     n_act = jnp.sum(mask).astype(y_std.dtype)
     return -0.5 * (quad + logdet + n_act * _LOG_2PI)
@@ -186,8 +199,20 @@ def _fit_one(raw0: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GP
         def body(_, carry):
             raw, opt_state = carry
             grads = jax.grad(loss)(raw)
+            # NaN robustness: a failed f32 Cholesky inside the loss (near-
+            # duplicate rows at extreme hypers) yields NaN grads; one such
+            # step would poison the parameter trajectory permanently (and
+            # with it every later warm-started refit in the outer loop —
+            # the round-2 full-budget regret bug). Zero the grads for that
+            # step and keep the previous finite iterate instead.
+            grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
             updates, opt_state = opt.update(grads, opt_state, raw)
-            return optax.apply_updates(raw, updates), opt_state
+            new_raw = optax.apply_updates(raw, updates)
+            ok = jnp.all(
+                jnp.stack([jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(new_raw)])
+            )
+            raw = jax.tree.map(lambda new, old: jnp.where(ok, new, old), new_raw, raw)
+            return raw, opt_state
 
         raw_fin, _ = lax.fori_loop(0, config.fit_maxiter, body, (raw0, opt.init(raw0)))
         return raw_fin, loss(raw_fin)
@@ -221,6 +246,65 @@ def _fit_one(raw0: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GP
     return raw_fin, loss(raw_fin)
 
 
+def grid_params(dim: int, config: GPConfig, dtype=jnp.float32) -> GPParams:
+    """The static hyperparameter grid for ``fit_optimizer="grid"``: isotropic
+    lengthscale × noise combos (outputscale 1 on standardized y), stacked on
+    a leading axis. Values sit strictly inside the constraint boxes."""
+    lo, hi = config.lengthscale_bounds
+    no, nh = config.noise_bounds
+    ls_vals = [v for v in (0.1, 0.25, 0.5, 1.0, 1.9) if lo < v < hi]
+    nz_vals = [v for v in (2e-4, 1e-3, 1e-2) if no < v < nh]
+    d_eff = dim if config.use_ard else 1
+    combos = [(l, nz) for l in ls_vals for nz in nz_vals]
+    so, sh = config.outputscale_bounds
+    return GPParams(
+        raw_lengthscale=jnp.stack([
+            jnp.full((d_eff,), T.unconstrain(jnp.asarray(l, dtype), lo, hi)) for l, _ in combos
+        ]),
+        raw_outputscale=jnp.stack([
+            T.unconstrain(jnp.asarray(1.0, dtype), so, sh) for _ in combos
+        ]),
+        raw_noise=jnp.stack([
+            T.unconstrain(jnp.asarray(nz, dtype), no, nh) for _, nz in combos
+        ]),
+        raw_mean=jnp.zeros((len(combos),), dtype),
+    )
+
+
+def _fit_gp_grid(
+    x_buf: Array, y_buf: Array, mask: Array, config: GPConfig, adam_polish: bool = False
+) -> GPState:
+    """Grid MLL selection (``fit_optimizer="grid"``): evaluate the masked
+    MLL at every grid combo in one vmap (15 parallel Cholesky factorizations
+    — MXU-batched, ~50× cheaper than 50 sequential Adam steps) and keep the
+    argmax. This is the CPU oracle's trainer made TPU-native
+    (oracle/numpy_turbo._fit_gp_grid), and the reference-parity fit for the
+    TuRBO loops where it measurably beats gradient fits on regret.
+
+    ``adam_polish`` (``fit_optimizer="grid+adam"``): refine the grid argmax
+    with ``fit_maxiter_warm or 10`` Adam steps (ARD unlocks here), keeping
+    whichever of the two has the better MLL."""
+    dim = x_buf.shape[-1]
+    y_std_buf, _, _ = T.standardize(y_buf, mask)
+    inits = grid_params(dim, config, y_buf.dtype)
+    mlls = jax.vmap(lambda r: mll(r, x_buf, y_std_buf, mask, config))(inits)
+    mlls = jnp.where(jnp.isfinite(mlls), mlls, -jnp.inf)
+    best = jnp.argmax(mlls)
+    raw_best = jax.tree.map(lambda a: a[best], inits)
+    if adam_polish:
+        import dataclasses
+
+        steps = config.fit_maxiter_warm or 10
+        cfg_a = dataclasses.replace(config, fit_optimizer="adam", fit_maxiter=steps)
+        raw_pol, loss_pol = _fit_one(raw_best, x_buf, y_std_buf, mask, cfg_a)
+        n_act = jnp.maximum(jnp.sum(mask).astype(y_std_buf.dtype), 1.0)
+        better = jnp.isfinite(loss_pol) & (loss_pol < -mlls[best] / n_act)
+        raw_best = jax.tree.map(
+            lambda p, g: jnp.where(better, p, g), raw_pol, raw_best
+        )
+    return make_gp_state(x_buf, y_buf, mask, raw_best, config)
+
+
 def fit_gp(
     key: Array,
     x_buf: Array,
@@ -238,6 +322,10 @@ def fit_gp(
     Warm-started fits optionally use the smaller ``fit_maxiter_warm``
     iteration budget (reference refit practice [R]).
     """
+    if config.fit_optimizer in ("grid", "grid+adam"):
+        return _fit_gp_grid(
+            x_buf, y_buf, mask, config, adam_polish=config.fit_optimizer == "grid+adam"
+        )
     if warm_start is not None and config.fit_maxiter_warm:
         import dataclasses
 
@@ -247,6 +335,13 @@ def fit_gp(
     y_std_buf, y_mean, y_sd = T.standardize(y_buf, mask)
 
     base = warm_start if warm_start is not None else default_params(dim, config, dtype)
+    # sanitize the warm start: a non-finite carry-over would poison restart
+    # 0's whole trajectory AND the all-restarts-failed fallback below
+    defaults = default_params(dim, config, dtype)
+    base_ok = jnp.all(
+        jnp.stack([jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(base)])
+    )
+    base = jax.tree.map(lambda b, d0: jnp.where(base_ok, b, d0), base, defaults)
     n_rand = max(config.fit_restarts - 1, 0)
     if n_rand:
         rand = sample_restart_params(key, dim, config, n_rand, dtype)
@@ -255,9 +350,21 @@ def fit_gp(
         inits = jax.tree.map(lambda b: b[None], base)
 
     fitted, losses = jax.vmap(lambda r: _fit_one(r, x_buf, y_std_buf, mask, config))(inits)
-    losses = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
+    # invariant: fit_gp never returns non-finite hypers (a NaN raw would
+    # poison the cached factorization, the TS draws, and — through the
+    # warm-start chain — every subsequent refit). Restarts whose params or
+    # loss are non-finite are excluded; if ALL restarts failed, fall back
+    # to the (finite) base init.
+    params_finite = jnp.stack([
+        jnp.all(jnp.isfinite(leaf.reshape(leaf.shape[0], -1)), axis=1)
+        for leaf in jax.tree.leaves(fitted)
+    ]).all(axis=0)
+    losses = jnp.where(jnp.isfinite(losses) & params_finite, losses, jnp.inf)
     best = jnp.argmin(losses)
-    raw_best = jax.tree.map(lambda a: a[best], fitted)
+    all_failed = ~jnp.isfinite(losses[best])
+    raw_best = jax.tree.map(
+        lambda a, b: jnp.where(all_failed, b, a[best]), fitted, base
+    )
     return make_gp_state(x_buf, y_buf, mask, raw_best, config)
 
 
@@ -267,7 +374,7 @@ def make_gp_state(
     """Factorize once for the fitted hypers and cache (chol, alpha)."""
     params = constrain_params(raw, config)
     y_std_buf, y_mean, y_sd = T.standardize(y_buf, mask)
-    chol = _masked_kernel_chol(params, x_buf, mask, config)
+    chol = _masked_kernel_chol(params, x_buf, mask, config, ladder=True)
     resid = jnp.where(mask, y_std_buf - params["mean"], jnp.zeros_like(y_std_buf))
     alpha = L.cho_solve(chol, resid)
     return GPState(
@@ -280,6 +387,16 @@ def make_gp_state(
 # Posterior (SURVEY.md C9) — "the single most important kernel" [B:5]
 
 
+_HI = jax.lax.Precision.HIGHEST
+# The TPU MXU runs f32 dots in bf16 passes by default (~0.4% error). The
+# posterior contractions below feed CANCELLATIONS (σ² = k** − Σv², cov =
+# K** − vᵀv) whose true magnitude at deep trust-region refinement is ~1e-4
+# of the operands — measured: default-precision TPU σ error (8.9e-3) larger
+# than σ itself, vs 2e-5 on CPU f32; Thompson sampling then degenerates and
+# TuRBO's full-budget regret triples. HIGHEST restores CPU-grade f32 at
+# negligible cost (these ops are HBM/latency-bound at BO sizes).
+
+
 def _posterior_chunk(
     state: GPState, xs: Array, config: GPConfig, include_noise: bool
 ) -> Tuple[Array, Array]:
@@ -287,7 +404,7 @@ def _posterior_chunk(
         _kernel_matrix(state.params, state.x_buf, xs, config, add_noise=False), state.mask
     )
     v = L.solve_lower(state.chol, k_cross)  # (N_max, m)
-    mu_s = state.params["mean"] + k_cross.T @ state.alpha
+    mu_s = state.params["mean"] + jnp.matmul(k_cross.T, state.alpha, precision=_HI)
     var_s = K.kernel_diag(state.params, xs) - jnp.sum(v * v, axis=0)
     var_s = jnp.maximum(var_s, jnp.asarray(1e-12, var_s.dtype))
     if include_noise:
@@ -332,8 +449,10 @@ def posterior_cov(
         _kernel_matrix(state.params, state.x_buf, xs, config, add_noise=False), state.mask
     )
     v = L.solve_lower(state.chol, k_cross)
-    mu_s = state.params["mean"] + k_cross.T @ state.alpha
-    cov_s = _kernel_matrix(state.params, xs, xs, config, add_noise=False) - v.T @ v
+    mu_s = state.params["mean"] + jnp.matmul(k_cross.T, state.alpha, precision=_HI)
+    cov_s = _kernel_matrix(state.params, xs, xs, config, add_noise=False) - jnp.matmul(
+        v.T, v, precision=_HI
+    )
     if include_noise:
         cov_s = cov_s + state.params["noise"] * jnp.eye(xs.shape[0], dtype=cov_s.dtype)
     if standardized:

@@ -33,16 +33,29 @@ _SQRT5 = 2.23606797749979
 def pairwise_sqdist(x1: Array, x2: Array) -> Array:
     """Pairwise squared Euclidean distances, (n, d) x (m, d) -> (n, m).
 
-    MXU-friendly expansion; clamped at 0 to absorb the catastrophic
-    cancellation the expansion can produce for near-identical rows.
+    MXU-friendly expansion, **centered first**: the expansion's absolute
+    error is ~eps·‖x‖², so for clustered inputs (trust-region candidates at
+    small TR length, scaled by 1/ℓ) the uncentered form loses ALL the
+    signal in f32 — measured as the dominant regret gap vs the f64 oracle
+    at deep refinement (TuRBO-1 Ackley-10D full budget: regret 2.5 → ~0.6).
+    Subtracting the shared mean is distance-invariant and shrinks ‖x‖² to
+    the cluster radius; the remaining cancellation is clamped at 0.
     """
-    # preferred_element_type keeps the MXU accumulating in f32 even if the
-    # inputs are ever bf16.
+    c = 0.5 * (jnp.mean(x1, axis=0) + jnp.mean(x2, axis=0))
+    x1 = x1 - c
+    x2 = x2 - c
+    # precision=HIGHEST: the TPU MXU computes f32 dots in bf16 passes by
+    # default (~8 mantissa bits) — fatal for the d² cancellation and hence
+    # for deep trust-region refinement (measured: TuRBO-1 Ackley-10D full
+    # budget regret 2.5 on TPU vs 1.3 on CPU at identical f32 math; HIGHEST
+    # restores CPU-grade f32). The cross matmul is transcendental-dominated
+    # at d ≤ 60, so the extra MXU passes are free in wall-clock.
     cross = jax.lax.dot_general(
         x1,
         x2,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=x1.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
     sq1 = jnp.sum(x1 * x1, axis=-1)[:, None]
     sq2 = jnp.sum(x2 * x2, axis=-1)[None, :]

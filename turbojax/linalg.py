@@ -147,7 +147,9 @@ def chol_append(l_buf: Array, n: Array, k_vec: Array, k_nn: Array, floor: float 
     rhs = jnp.where(active, k_vec, jnp.zeros_like(k_vec))
     b = solve_lower(l_buf, rhs)  # inactive rows stay 0 (identity block, zero rhs)
     b = jnp.where(active, b, jnp.zeros_like(b))
-    pivot = jnp.sqrt(jnp.maximum(k_nn - jnp.dot(b, b), floor))
+    # sum(b*b) runs elementwise on the VPU at full f32 (an MXU dot would
+    # use the default reduced-precision pass; the pivot is a cancellation)
+    pivot = jnp.sqrt(jnp.maximum(k_nn - jnp.sum(b * b), floor))
     new_row = jnp.where(active, b, jnp.where(idx == n, pivot, jnp.zeros_like(b)))
     # Row n of the identity padding was e_n; overwrite it with [b, d, 0...].
     l_new = lax.dynamic_update_slice(l_buf, new_row[None, :], (n, jnp.zeros_like(n)))

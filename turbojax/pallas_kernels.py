@@ -37,6 +37,7 @@ def _kernel_body(kernel_name: str, add_noise: bool):
         cross = jax.lax.dot_general(
             z1, z2, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         s1 = jnp.sum(z1 * z1, axis=-1, keepdims=True)  # (TILE, 1)
         s2 = jnp.sum(z2 * z2, axis=-1, keepdims=True).T  # (1, TILE)
@@ -106,6 +107,100 @@ def fused_kernel_matrix(
             transcendentals=n * m,
         ),
     )(z1.astype(jnp.float32), z2.astype(jnp.float32), scal)
+
+
+def _ts_cov_body(kernel_name: str):
+    def body(z1_ref, z2_ref, v1_ref, v2_ref, scal_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        z1 = z1_ref[:]  # (TILE, d) candidate rows, pre-scaled
+        z2 = z2_ref[:]
+        cross = jax.lax.dot_general(
+            z1, z2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        s1 = jnp.sum(z1 * z1, axis=-1, keepdims=True)
+        s2 = jnp.sum(z2 * z2, axis=-1, keepdims=True).T
+        d2 = jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
+        outputscale = scal_ref[0, 0]
+        if kernel_name == "rbf":
+            k = outputscale * jnp.exp(-0.5 * d2)
+        elif kernel_name == "matern12":
+            r = jnp.sqrt(d2 + 1e-30)
+            k = outputscale * jnp.exp(-r)
+        elif kernel_name == "matern32":
+            r = jnp.sqrt(d2 + 1e-30)
+            sr = 1.7320508075688772 * r
+            k = outputscale * (1.0 + sr) * jnp.exp(-sr)
+        elif kernel_name == "matern52":
+            r = jnp.sqrt(d2 + 1e-30)
+            sr = _SQRT5 * r
+            k = outputscale * (1.0 + sr + (5.0 / 3.0) * d2) * jnp.exp(-sr)
+        else:
+            raise ValueError(f"unknown kernel {kernel_name!r}")
+        # subtract the explained covariance vᵀv (second MXU contraction,
+        # over the training axis) — never materialized in HBM
+        vtv = jax.lax.dot_general(
+            v1_ref[:], v2_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        k = k - vtv
+        jitter = scal_ref[0, 1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0) + i * _TILE
+        cols = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1) + j * _TILE
+        out_ref[:] = jnp.where(rows == cols, k + jitter, k)
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_name",))
+def fused_ts_cov(
+    zs: jax.Array,
+    v: jax.Array,
+    outputscale: jax.Array,
+    jitter: jax.Array,
+    kernel_name: str = "matern52",
+) -> jax.Array:
+    """Thompson-chunk posterior covariance ``k(xs,xs) − vᵀv + jitter·I`` in
+    one pallas_call (VERDICT r1 weak #7 attempt (b)): per (128,128) tile two
+    MXU contractions (candidate cross term over d; explained term over the
+    n training rows) plus the kernel-function epilogue and the diagonal
+    bump — the m×m prior matrix and the vᵀv product never round-trip HBM.
+
+    Args:
+      zs: (m, d) candidates pre-scaled by 1/lengthscale; m % 128 == 0.
+      v:  (n, m) forward-solve L⁻¹K* (training axis first).
+    """
+    m, d = zs.shape
+    n = v.shape[0]
+    assert m % _TILE == 0, m
+    scal = jnp.stack([outputscale.astype(jnp.float32), jitter.astype(jnp.float32)]).reshape(1, 2)
+    grid = (m // _TILE, m // _TILE)
+    return pl.pallas_call(
+        _ts_cov_body(kernel_name),
+        out_shape=jax.ShapeDtypeStruct((m, m), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_TILE, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_TILE, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, _TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, _TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (_TILE, _TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * m * (d + n) + 8 * m * m,
+            bytes_accessed=4 * (2 * m * d + 2 * n * m + m * m),
+            transcendentals=m * m,
+        ),
+    )(zs.astype(jnp.float32), zs.astype(jnp.float32), v.astype(jnp.float32),
+      v.astype(jnp.float32), scal)
 
 
 def pallas_available() -> bool:
