@@ -95,9 +95,10 @@ CONFIGS = {
         method="turbom",
         m=5,
         gp=GPConfig(
-            kernel="matern52", fit_restarts=2, fit_optimizer="adam",
+            kernel="matern52", fit_restarts=2, fit_optimizer="grid",
             fit_maxiter=50, fit_maxiter_warm=25, fit_lr=0.1,
-        ),
+        ),  # grid trainer (see config 4): equal rover quality to Adam at a
+        # fraction of the per-iteration fit cost (warm full run 83 s -> 56 s)
         turbo=TurboConfig(
             n_init=40, max_evals=2000, batch_size=10,
             n_candidates=5000, ts_chunk=1000, tr=TRConfig(),

@@ -54,3 +54,28 @@ def test_run_turbo1_survives_nan_objective():
     assert np.isfinite(np.asarray(trace)).all()
     y = np.asarray(carry.y_buf[: int(carry.n)])
     assert np.isfinite(y).all()
+
+
+def test_impute_penalty_never_ranks_as_incumbent():
+    """Regression for the fabricated round-1 rover optimum: with an EMPTY
+    history and an all-NaN batch, the old penalty formula collapsed to
+    exactly 3.0 — small enough to become the recorded best on problems
+    whose real costs exceed it. The penalty must be unmistakably terrible
+    in every scope."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from turbojax import transforms as T
+
+    # degenerate scope: no history, whole batch failed
+    y_new = jnp.full((4,), jnp.nan)
+    out = T.impute_failures(y_new, jnp.zeros((8,)), jnp.zeros((8,), bool))
+    assert np.all(np.asarray(out) >= 1e6)
+
+    # normal scope: penalty strictly worse than every observation in scope
+    y_buf = jnp.asarray([5.0, -2.0, 100.0, 0.0])
+    mask = jnp.asarray([True, True, True, False])
+    y_new2 = jnp.asarray([1.0, jnp.nan, jnp.inf])
+    out2 = np.asarray(T.impute_failures(y_new2, y_buf, mask))
+    assert out2[0] == 1.0
+    assert np.all(out2[1:] > 100.0)

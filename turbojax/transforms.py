@@ -67,17 +67,32 @@ def unstandardize_var(var_std: Array, std: Array) -> Array:
     return var_std * std**2
 
 
+#: Penalty scale when a batch fails with NO finite reference (empty history
+#: AND all-NaN batch). Must be unmistakably terrible: round 1 used 0 here,
+#: which made the imputed penalty exactly 3.0 — small enough to RANK AS THE
+#: INCUMBENT on problems whose real costs exceed it (the fabricated
+#: "rover60 best 3.00"). Any constant is arbitrary in this degenerate case;
+#: it only must never masquerade as a good observation.
+_IMPUTE_FLOOR = 1e6
+
+
 def impute_failures(y_new: Array, y_buf: Array, mask: Array) -> Array:
     """Objective-failure handling (SURVEY.md §5.3), jit-safe: replace
     NaN/inf objective values with a large finite penalty derived from the
     worst observation so far, so masked buffers never hold non-finites
-    (the §7.3.1 invariant) and the surrogate keeps a usable landscape."""
+    (the §7.3.1 invariant) and the surrogate keeps a usable landscape.
+
+    Invariant (tests/test_failures.py): the penalty is strictly worse than
+    every finite observation in scope, so an imputed value can never become
+    the incumbent."""
     finite_new = jnp.isfinite(y_new)
     known = jnp.where(mask, y_buf, -jnp.inf)
     worst_hist = jnp.max(known)
     worst_new = jnp.max(jnp.where(finite_new, y_new, -jnp.inf))
     worst = jnp.maximum(worst_hist, worst_new)
-    worst = jnp.where(jnp.isfinite(worst), worst, jnp.zeros_like(worst))
+    worst = jnp.where(
+        jnp.isfinite(worst), worst, jnp.asarray(_IMPUTE_FLOOR, y_new.dtype)
+    )
     penalty = worst + 3.0 * (jnp.abs(worst) + 1.0)
     return jnp.where(finite_new, y_new, penalty)
 
