@@ -149,6 +149,20 @@ def bench_oracle(ns=(100, 500, 2000), d=10, n_cand=5000, q=10):
         results[f"ts_q{q}_5k_n{n}"] = time.perf_counter() - t0
 
         if n == 2000:
+            # O(n²) incremental Cholesky append (SURVEY C5): one forward
+            # solve + pivot — the reference's per-observation update path
+            from scipy.linalg import solve_triangular as _st
+
+            l_fac = np.linalg.cholesky(
+                onp.kernel_matrix("matern52", x, x, np.full(d, 0.5), 1.0)
+                + 1e-3 * np.eye(n)
+            )
+            k_vec = onp.kernel_matrix("matern52", x, rng.rand(1, d), np.full(d, 0.5), 1.0)[:, 0]
+            t0 = time.perf_counter()
+            for _ in range(5):
+                b = _st(l_fac, k_vec, lower=True)
+                float(np.sqrt(max(1.001 - b @ b, 1e-10)))
+            results[f"chol_append_n{n}"] = (time.perf_counter() - t0) / 5
             # reference-lane hyperparameter fit: multi-restart scipy
             # L-BFGS-B on the analytic-gradient MLL (oracle/numpy_gp.py,
             # SURVEY.md §3.2's "≥10x target's main lever"). Measured once —

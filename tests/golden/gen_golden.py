@@ -26,6 +26,16 @@ GOLDEN_DIR = os.path.dirname(os.path.abspath(__file__))
 RUNS = {
     "branin_ei": dict(config="branin_ei", max_evals=30, seed=0),
     "turbo1_ackley10": dict(config="turbo1_ackley10", max_evals=60, seed=0),
+    # config-2 family: L-BFGS MLL refit per iteration (reduced budget/cands
+    # keep the CPU lane affordable; the curve is still the L-BFGS fit path)
+    "hartmann6_lbfgs": dict(
+        config="hartmann6_lbfgs", max_evals=27, seed=0, n_candidates=256
+    ),
+    # config-5 family: a TuRBO-m trace (m=2, reduced candidates) — covers
+    # vmapped per-TR fits + global TS allocation + init-stream restarts
+    "turbom5_rover60": dict(
+        config="turbom5_rover60", max_evals=120, seed=0, m=2, n_candidates=256
+    ),
 }
 
 
@@ -33,11 +43,16 @@ def main():
     from benchmarks.regret_harness import run_config
 
     for name, spec in RUNS.items():
-        rec = run_config(spec["config"], spec["seed"], spec["max_evals"])
+        rec = run_config(
+            spec["config"], spec["seed"], spec["max_evals"],
+            m=spec.get("m"), n_candidates=spec.get("n_candidates"),
+        )
         out = {
             "config": spec["config"],
             "seed": spec["seed"],
             "max_evals": spec["max_evals"],
+            "m": spec.get("m"),
+            "n_candidates": spec.get("n_candidates"),
             "regret_curve": rec["regret_curve"],
             "final_regret": rec["simple_regret"],
         }

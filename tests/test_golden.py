@@ -21,12 +21,17 @@ def _load(name):
         return json.load(f)
 
 
-@pytest.mark.parametrize("name", ["branin_ei", "turbo1_ackley10"])
+@pytest.mark.parametrize(
+    "name", ["branin_ei", "turbo1_ackley10", "hartmann6_lbfgs", "turbom5_rover60"]
+)
 def test_golden_regret(name):
     from benchmarks.regret_harness import run_config
 
     golden = _load(name)
-    rec = run_config(golden["config"], golden["seed"], golden["max_evals"])
+    rec = run_config(
+        golden["config"], golden["seed"], golden["max_evals"],
+        m=golden.get("m"), n_candidates=golden.get("n_candidates"),
+    )
     curve = np.asarray(rec["regret_curve"])
     gold = np.asarray(golden["regret_curve"])
 

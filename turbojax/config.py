@@ -39,8 +39,10 @@ class GPConfig:
 
     kernel: str = "matern52"
     use_ard: bool = True
-    use_pallas: bool = False  # route tile-aligned kernel-matrix builds through
-    # the fused Pallas kernel (TPU backend only; jnp fallback otherwise)
+    use_pallas: Optional[bool] = None  # fused Pallas kernel-matrix builds:
+    # None = auto (TPU + tile-aligned + d ≥ 32, the measured ≥1.2× regime —
+    # BENCH_pallas.json), True = force where shapes allow, False = never
+    # (the parity-CI jnp lane)
     noise_floor: float = 1e-4
     jitter: float = 1e-6
     lengthscale_bounds: Tuple[float, float] = (0.005, 2.0)  # the reference's

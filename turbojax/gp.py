@@ -120,16 +120,24 @@ def sample_restart_params(key: Array, dim: int, config: GPConfig, n: int, dtype=
 
 
 def _use_pallas(config: GPConfig, *arrays: Array) -> bool:
-    """Route through the fused Pallas kernel when the config asks for it,
-    the backend is TPU, dtypes are f32, and shapes are tile-aligned
-    (SURVEY.md §7.1.7; jnp fallback keeps parity CI honest)."""
-    if not config.use_pallas:
+    """Route through the fused Pallas kernel when profitable: TPU backend,
+    f32, tile-aligned shapes, and d ≥ 32 — the regime where the fused
+    dist+kernel tile kernel measured ≥1.2× vs XLA (1.23–1.70× at d=60–128,
+    BENCH_pallas.json; neutral-to-slower at small d, so those shapes keep
+    the jnp path). ``config.use_pallas``: None = this auto rule (default),
+    True = force wherever shapes allow, False = never (parity CI lane)."""
+    if config.use_pallas is False:
         return False
     from turbojax import pallas_kernels as PK
 
     if not PK.pallas_available():
         return False
-    return all(a.shape[0] % PK._TILE == 0 and a.dtype == jnp.float32 for a in arrays)
+    aligned = all(a.shape[0] % PK._TILE == 0 and a.dtype == jnp.float32 for a in arrays)
+    if not aligned:
+        return False
+    if config.use_pallas is True:
+        return True
+    return arrays[0].shape[-1] >= 32  # auto: measured-profitable regime
 
 
 def _kernel_matrix(
@@ -140,8 +148,11 @@ def _kernel_matrix(
 
         z1 = x1 / params["lengthscale"]
         z2 = x2 / params["lengthscale"]
+        # center like kernels.pairwise_sqdist: the expansion's eps·‖z‖²
+        # error otherwise swamps clustered trust-region candidates
+        c = 0.5 * (jnp.mean(z1, axis=0) + jnp.mean(z2, axis=0))
         return PK.fused_kernel_matrix(
-            z1, z2, params["outputscale"], params["noise"],
+            z1 - c, z2 - c, params["outputscale"], params["noise"],
             kernel_name=config.kernel, add_noise=add_noise,
         )
     k_mat = K.get_kernel(config.kernel)(params, x1, x2)
