@@ -89,6 +89,8 @@ def tr_candidates(
     length: Array,
     lengthscale: Array,
     n_cand: int,
+    local_frac: float = 0.0,
+    local_sigma: float = 0.3,
 ) -> Array:
     """TuRBO trust-region candidates in the unit cube (SURVEY.md C17 [R]).
 
@@ -96,15 +98,26 @@ def tr_candidates(
     lengthscale weights ``w = ℓ/mean(ℓ) / prod(ℓ/mean(ℓ))^(1/d)``; Sobol
     points fill the clipped box, and each candidate perturbs only a masked
     subset of dims away from the center.
-    """
+
+    ``local_frac > 0`` replaces that fraction of the pool with Gaussian
+    draws around the incumbent (σ = ``local_sigma`` × the per-dim half
+    width, clipped to the TR box, same sparse perturbation masks): uniform
+    Sobol spacing inside the box caps refinement precision at
+    ~(1/n_cand)^(1/d_perturbed), which starves high-d problems near small
+    TR lengths (rover-60, docs/ROADMAP.md item 1). 0 = pure reference
+    behavior [R]."""
     dim = center.shape[-1]
-    ks, km = jax.random.split(key)
+    ks, km, kl = jax.random.split(key, 3)
     w = lengthscale / jnp.mean(lengthscale)
     w = w / jnp.exp(jnp.mean(jnp.log(w)))  # prod(w)^(1/d) normalization
     half = w * length / 2.0
     lb = jnp.clip(center - half, 0.0, 1.0)
     ub = jnp.clip(center + half, 0.0, 1.0)
-    pert = lb + (ub - lb) * sobol_sample(ks, dim, n_cand, dtype=center.dtype)
+    n_local = int(round(local_frac * n_cand))
+    pert = lb + (ub - lb) * sobol_sample(ks, dim, n_cand - n_local, dtype=center.dtype)
+    if n_local:
+        g = center + local_sigma * half * jax.random.normal(kl, (n_local, dim), center.dtype)
+        pert = jnp.concatenate([pert, jnp.clip(g, lb, ub)], axis=0)
     mask = perturbation_mask(km, n_cand, dim)
     return jnp.where(mask, pert, center[None, :])
 
