@@ -68,3 +68,13 @@ def test_profile_writes_trace(tmp_path):
     for root, _, files in os.walk(tmp_path):
         found.extend(files)
     assert found, "profiler produced no trace files"
+
+
+def test_start_profiler_server_idempotent():
+    """§5.1 live-profiling integration: the server starts once and repeat
+    calls are safe no-ops (long host-loop runs call this unconditionally)."""
+    from turbojax import runlog
+
+    port = runlog.start_profiler_server(9917)
+    assert port == 9917
+    assert runlog.start_profiler_server(9917) == 9917  # idempotent

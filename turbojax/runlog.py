@@ -70,3 +70,19 @@ def annotate(name: str):
 
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+def start_profiler_server(port: int = 9999) -> int:
+    """Start the live JAX profiler server (SURVEY.md §5.1's
+    ``jax.profiler.start_server`` integration): connect TensorBoard's
+    profile plugin / `xprof` to ``localhost:port`` during a long run
+    (e.g. a config-5 host loop) to capture traces on demand instead of
+    wrapping the whole run in ``profile``. Returns the port. Idempotent
+    per process (JAX raises if started twice; we swallow that)."""
+    import jax
+
+    try:
+        jax.profiler.start_server(port)
+    except (RuntimeError, ValueError):
+        pass  # already running in this process
+    return port

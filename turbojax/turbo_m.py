@@ -270,7 +270,12 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
     dim = len(lb)
     q = cfg.batch_size
     n_final = n_loc or cfg.n_init + cfg.n_iters * q
-    cap = 32
+    # Start the bucket ladder at 512 (not the minimal power of 2): each
+    # bucket costs TWO program builds (step + scan) whose trace/lower work
+    # runs on the host — measured comparable to the whole run's compute on
+    # a small-core host — while the compute saved by sub-512 buckets is
+    # microscopic (a 512² masked chol is ~1 ms on the MXU).
+    cap = 512
     while cap < max(2 * q, cfg.n_init + q):
         cap *= 2
     cap = min(cap, n_final)
