@@ -151,9 +151,9 @@ def _kernel_matrix(
         # center like kernels.pairwise_sqdist: the expansion's eps·‖z‖²
         # error otherwise swamps clustered trust-region candidates
         c = 0.5 * (jnp.mean(z1, axis=0) + jnp.mean(z2, axis=0))
-        return PK.fused_kernel_matrix(
+        return PK.fused_kernel_matrix_ad(
             z1 - c, z2 - c, params["outputscale"], params["noise"],
-            kernel_name=config.kernel, add_noise=add_noise,
+            config.kernel, add_noise,
         )
     k_mat = K.get_kernel(config.kernel)(params, x1, x2)
     if add_noise:

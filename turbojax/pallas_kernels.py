@@ -109,6 +109,41 @@ def fused_kernel_matrix(
     )(z1.astype(jnp.float32), z2.astype(jnp.float32), scal)
 
 
+def _jnp_reference_kernel(z1, z2, outputscale, noise, kernel_name: str, add_noise: bool):
+    """The pure-jnp equivalent of ``fused_kernel_matrix`` on pre-scaled
+    inputs (lengthscale already divided out) — the AD fallback below."""
+    from turbojax import kernels as K
+
+    params = {
+        "lengthscale": jnp.ones((z1.shape[-1],), z1.dtype),
+        "outputscale": outputscale,
+    }
+    k = K.get_kernel(kernel_name)(params, z1, z2)
+    if add_noise:
+        k = k + noise * jnp.eye(z1.shape[0], dtype=k.dtype)
+    return k
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4, 5))
+def fused_kernel_matrix_ad(z1, z2, outputscale, noise, kernel_name="matern52",
+                           add_noise=False):
+    """``fused_kernel_matrix`` that is safe under autodiff: pallas_call has
+    no JVP rule (``jax.grad`` through it crashes in Mosaic's program_id
+    tracing), so differentiation falls back to the mathematically identical
+    jnp path via custom_jvp — primal-only callers (posterior, grid-fit MLL
+    selection, cached factorization) keep the fused tile kernel."""
+    return fused_kernel_matrix(
+        z1, z2, outputscale, noise, kernel_name=kernel_name, add_noise=add_noise
+    )
+
+
+@fused_kernel_matrix_ad.defjvp
+def _fused_kernel_matrix_jvp(kernel_name, add_noise, primals, tangents):
+    return jax.jvp(
+        lambda *p: _jnp_reference_kernel(*p, kernel_name, add_noise), primals, tangents
+    )
+
+
 def _ts_cov_body(kernel_name: str):
     def body(z1_ref, z2_ref, v1_ref, v2_ref, scal_ref, out_ref):
         i = pl.program_id(0)
