@@ -79,3 +79,37 @@ def test_impute_penalty_never_ranks_as_incumbent():
     out2 = np.asarray(T.impute_failures(y_new2, y_buf, mask))
     assert out2[0] == 1.0
     assert np.all(out2[1:] > 100.0)
+
+
+def test_ask_tell_impute_never_ranks_as_incumbent():
+    """Ask/tell twin of the invariant above (VERDICT r2 weak #1): the host
+    ``Optimizer.tell`` path must use the same history-aware imputation as
+    the jitted loops. The old batch-only fallback (worst=1.0 → penalty 7.0)
+    recorded a fake incumbent of 7.0 after one all-failed batch on any
+    problem whose real costs exceed 7 (rover costs are 10–170)."""
+    from turbojax.api import Optimizer
+
+    opt = Optimizer(
+        (0.0,) * 4, (1.0,) * 4, method="turbo1", n_init=4, max_evals=40,
+        batch_size=4, gp_config=GCFG,
+    )
+    # first batch: ALL evaluations fail, with no history to lean on
+    xs = opt.ask()
+    opt.tell(xs, np.full((4,), np.nan, np.float32))
+    assert opt.best[1] >= 1e6, (
+        f"all-NaN first batch produced best={opt.best[1]} — small enough to "
+        "masquerade as a real observation on rover-cost-scale problems"
+    )
+    # rover-cost-scale real observations must immediately dominate
+    xs = opt.ask()
+    real = np.asarray([140.0, 85.0, 23.0, 61.0], np.float32)
+    opt.tell(xs, real)
+    assert opt.best[1] == 23.0
+    # a later partially-failed batch imputes against the history's worst,
+    # strictly above every real observation so far
+    xs = opt.ask()
+    opt.tell(xs, np.asarray([50.0, np.nan, 30.0, np.inf], np.float32))
+    ys = np.concatenate(opt._history_y)
+    assert np.isfinite(ys).all()
+    assert ys[ys > 150.0].min() > 140.0  # imputed > worst finite history
+    assert opt.best[1] == 23.0

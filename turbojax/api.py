@@ -415,11 +415,22 @@ class Optimizer:
         x = np.atleast_2d(np.asarray(x, np.float32))
         y = np.atleast_1d(np.asarray(y, np.float32))
         # objective-failure handling (SURVEY.md §5.3): impute NaN/inf with a
-        # large penalty so the surrogate stays finite
+        # large penalty so the surrogate stays finite. The penalty reference
+        # is the worst over the FULL history ∪ this batch with the 1e6
+        # degenerate floor (transforms.impute_failures semantics): a
+        # batch-only fallback here fabricated the retracted round-1 rover
+        # incumbent (BASELINE.md "RETRACTION") — an all-failed early batch
+        # must never produce a penalty small enough to rank as the best.
         finite = np.isfinite(y)
         if not finite.all():
-            worst = float(np.max(y[finite])) if finite.any() else 1.0
-            y = np.where(finite, y, worst + 3.0 * (abs(worst) + 1.0))
+            hist = (
+                np.concatenate(self._history_y)
+                if self._history_y
+                else np.zeros((0,), np.float32)
+            )
+            ref = np.concatenate([hist[np.isfinite(hist)], y[finite]])
+            worst = float(np.max(ref)) if ref.size else float(T._IMPUTE_FLOOR)
+            y = np.where(finite, y, worst + 3.0 * (abs(worst) + 1.0)).astype(np.float32)
         x_unit = np.asarray(T.to_unit_cube(x, self.lb, self.ub), np.float32)
         # capacity guard: a clamped dynamic_update_slice would silently
         # overwrite the last buffer row past max_evals
