@@ -6,6 +6,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# CI smoke runs force a backend (the axon TPU plugin ignores JAX_PLATFORMS):
+if os.environ.get("TURBOJAX_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["TURBOJAX_PLATFORM"])
+
 import argparse
 
 import jax
@@ -28,7 +34,12 @@ def main():
 
         bo = dataclasses.replace(bo, max_evals=args.evals)
     b = B.get_benchmark(cfg.benchmark)
-    res = run_bo(jax.random.key(args.seed), b.fn, b.lb, b.ub, bo, cfg.gp)
+    # L-BFGS refits over many iterations make the monolithic scan program
+    # too large for the compiler — drive from the host (same math)
+    res = run_bo(
+        jax.random.key(args.seed), b.fn, b.lb, b.ub, bo, cfg.gp,
+        host_loop=bo.n_iters > 40,
+    )
     print(
         f"best y = {float(res.best_y):.5f}  (optimum {b.optimum})  "
         f"n = {int(res.n)}  at x = {res.best_x}"

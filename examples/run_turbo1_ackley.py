@@ -6,6 +6,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# CI smoke runs force a backend (the axon TPU plugin ignores JAX_PLATFORMS):
+if os.environ.get("TURBOJAX_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["TURBOJAX_PLATFORM"])
+
 import argparse
 
 import jax

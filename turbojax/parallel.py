@@ -294,6 +294,73 @@ def sharded_turbom_step(
     return step(carries, key)
 
 
+def run_turbom_sharded(
+    key: Array,
+    fn,
+    lb,
+    ub,
+    cfg,
+    config: GPConfig,
+    mesh: Mesh,
+    m: Optional[int] = None,
+    n_loc: Optional[int] = None,
+    on_iteration=None,
+):
+    """Full TuRBO-m run with the trust-region axis sharded across the mesh
+    (the EP analog [B:5, B:11]): a host-driven loop over
+    ``sharded_turbom_step``, one jitted dispatch per iteration.
+
+    ``m`` defaults to the mesh size (one TR per device) and must be a
+    multiple of it. Buffers are fixed at the final capacity — bucketed
+    growth (turbo_m._run_turbom_host) would change per-device shard shapes
+    mid-run; at the multi-chip scale this driver targets, per-device HBM
+    comfortably holds the full-capacity carries.
+
+    Returns (carries, incumbent_trace) like ``turbo_m.run_turbom``.
+    """
+    from functools import partial as _partial
+
+    from turbojax import sampling as S
+    from turbojax.trust_region import make_turbo_carry
+    from turbojax.turbo_m import _check_n_cand
+    from jax.sharding import NamedSharding
+
+    axis = mesh.axis_names[0]
+    m = m or mesh.devices.size
+    dim = len(lb)
+    n_cand = cfg.n_candidates or S.n_candidates(dim)
+    _check_n_cand(cfg, n_cand)
+    n_loc = n_loc or cfg.n_init + cfg.n_iters * cfg.batch_size
+    fail_tol = cfg.tr.resolved_fail_tol(dim, cfg.batch_size)
+
+    k_carries, k_loop = jax.random.split(key)
+    keys = jax.random.split(k_carries, m)
+    carries = jax.jit(
+        jax.vmap(lambda k: make_turbo_carry(k, dim, n_loc, cfg, config))
+    )(keys)
+    carries = jax.tree.map(
+        lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+        ),
+        carries,
+    )
+    step = jax.jit(
+        _partial(
+            sharded_turbom_step,
+            fn=fn, lb=jnp.asarray(lb, jnp.float32), ub=jnp.asarray(ub, jnp.float32),
+            cfg=cfg, config=config, mesh=mesh, n_cand=n_cand, fail_tol=fail_tol,
+        )
+    )
+    trace = []
+    for it in range(cfg.n_iters):
+        k_loop, k_it = jax.random.split(k_loop)
+        carries, best = step(carries, k_it)
+        trace.append(best)
+        if on_iteration is not None:
+            on_iteration(it, float(best))
+    return carries, jnp.asarray(np.asarray(jax.device_get(trace)))
+
+
 # --------------------------------------------------------------------------
 # Multi-seed / fleet parallelism (SURVEY.md §2.6 last row, §5.8 DCN)
 #

@@ -244,6 +244,14 @@ class _AOTLadder:
             self._futs[(cap, kind)] = fut
         return fut.result()
 
+    def close(self):
+        """Cancel queued bucket compiles and release the worker thread.
+
+        Without this, programs for buckets a run never reaches (short runs,
+        crashes, Ctrl-C mid-checkpoint) still compile to completion —
+        15–30 s each through the tunnel — and block interpreter exit."""
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
 
 def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
                      scan_chunk: int = 16, checkpoint_path=None,
@@ -298,29 +306,32 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
     )
 
     it = len(trace)
-    while it < cfg.n_iters:
-        n_max_now = int(jnp.max(carries.n))
-        if n_max_now + q > cap and cap < n_final:
-            cap = min(max(cap * 2, n_max_now + q), n_final)
-            carries = _grow_carries(carries, cap)
+    try:
+        while it < cfg.n_iters:
             n_max_now = int(jnp.max(carries.n))
-        # iterations guaranteed to fit in this bucket (each adds ≤ q per TR)
-        k_fit = (cap - n_max_now) // q if cap < n_final else cfg.n_iters - it
-        if scan_chunk > 1 and min(k_fit, cfg.n_iters - it) >= scan_chunk:
-            carries, bests = ladder.get(cap, "scan")(carries)
-            bests = np.asarray(jax.device_get(bests))
-            for j, b in enumerate(bests):
+            if n_max_now + q > cap and cap < n_final:
+                cap = min(max(cap * 2, n_max_now + q), n_final)
+                carries = _grow_carries(carries, cap)
+                n_max_now = int(jnp.max(carries.n))
+            # iterations guaranteed to fit in this bucket (each adds ≤ q per TR)
+            k_fit = (cap - n_max_now) // q if cap < n_final else cfg.n_iters - it
+            if scan_chunk > 1 and min(k_fit, cfg.n_iters - it) >= scan_chunk:
+                carries, bests = ladder.get(cap, "scan")(carries)
+                bests = np.asarray(jax.device_get(bests))
+                for j, b in enumerate(bests):
+                    if on_iteration is not None:
+                        on_iteration(it + j, float(b))
+                    trace.append(b)
+                it += scan_chunk
+            else:
+                carries, best = ladder.get(cap, "step")(carries)
+                trace.append(best)
                 if on_iteration is not None:
-                    on_iteration(it + j, float(b))
-                trace.append(b)
-            it += scan_chunk
-        else:
-            carries, best = ladder.get(cap, "step")(carries)
-            trace.append(best)
-            if on_iteration is not None:
-                on_iteration(it, float(best))
-            it += 1
-        ckpt.maybe_save(it, carries, trace)
+                    on_iteration(it, float(best))
+                it += 1
+            ckpt.maybe_save(it, carries, trace)
+    finally:
+        ladder.close()
     return carries, jnp.asarray(np.asarray(jax.device_get(trace)))
 
 
