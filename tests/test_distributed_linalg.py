@@ -93,7 +93,10 @@ def test_distributed_gp_class(rng):
     y = np.sin(4 * x[:, 0]) + 0.1 * rng.randn(n)
     xs = rng.rand(m, d)
     mesh = PAR.make_mesh(4, axis="rows")
-    dgp = DistributedGP(mesh, kernel="matern52", panel=16).fit(
+    # jitter=0: the oracle adds no diagonal bump, and this test is the
+    # exact-same-math parity check (the default 1e-6 jitter + escalation
+    # ladder is covered by test_distributed_fit_never_returns_nan_hypers)
+    dgp = DistributedGP(mesh, kernel="matern52", panel=16, jitter=0.0).fit(
         jnp.asarray(x), jnp.asarray(y), np.full(d, 0.5), 1.0, 1e-2
     )
     mu, var = dgp.posterior(jnp.asarray(xs))
@@ -273,6 +276,85 @@ def test_fit_distributed_gp_matches_dense_trajectory(rng):
     mu_ref, var_ref = G.gp_posterior(state, xs, config)
     np.testing.assert_allclose(np.asarray(mu_d), np.asarray(mu_ref), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(var_d), np.asarray(var_ref), rtol=2e-3, atol=2e-4)
+
+
+def test_distributed_fit_never_returns_nan_hypers(rng):
+    """The dense lane's fit invariant on the distributed path (VERDICT r2
+    weak #2): exact-duplicate rows + a vanishing noise floor make the
+    in-shard panel Cholesky fail in f32; the NaN gradients must be dropped
+    per-step (finite hypers out), and a poisoned warm start must fall back
+    to the defaults."""
+    import dataclasses
+
+    from turbojax import gp as G
+    from turbojax.config import GPConfig
+
+    n, d = 64, 3
+    x_uniq = rng.rand(8, d)
+    x = jnp.asarray(np.repeat(x_uniq, 8, axis=0), jnp.float32)  # rank-8 K
+    y = jnp.asarray(rng.randn(n), jnp.float32)
+    mesh = PAR.make_mesh(8, axis="rows")
+    config = dataclasses.replace(
+        GPConfig(kernel="matern52"), fit_optimizer="adam", fit_maxiter=4,
+        noise_bounds=(1e-12, 1e-10), noise_floor=1e-12, jitter=0.0,
+    )
+    dgp = DL.fit_distributed_gp(x, y, mesh, config, panel=8)
+    for leaf in jax.tree.leaves(dgp.raw):
+        assert np.isfinite(np.asarray(leaf)).all(), "non-finite fitted hypers"
+
+    # poisoned warm start: sanitized to defaults, not propagated
+    bad = jax.tree.map(
+        lambda a: jnp.full_like(a, jnp.nan), G.default_params(d, config, jnp.float32)
+    )
+    dgp2 = DL.fit_distributed_gp(x, y, mesh, config, panel=8, warm_start=bad)
+    for leaf in jax.tree.leaves(dgp2.raw):
+        assert np.isfinite(np.asarray(leaf)).all(), "warm-start poison propagated"
+
+    # with the default relative jitter the escalating ladder rescues the
+    # cached factorization too (ADVICE r2: fit-time diagonal + rescue)
+    config_j = dataclasses.replace(config, jitter=1e-6)
+    dgp3 = DL.fit_distributed_gp(x, y, mesh, config_j, panel=8)
+    assert np.isfinite(np.asarray(dgp3.chol)).all()
+    mu, var = dgp3.posterior(jnp.asarray(rng.rand(4, d), jnp.float32))
+    assert np.isfinite(np.asarray(mu)).all() and np.isfinite(np.asarray(var)).all()
+
+
+def test_distributed_mll_grad_memory(rng):
+    """The fit gradient keeps the O(N²/D) per-device memory bound (ADVICE
+    r2 medium): the compiled grad program contains no buffer larger than
+    ~3×(N/D)×N elements. Reverse AD through the panel loop would stack
+    n/panel (N/D, N) carries — an f32[16, 512, 4096] scan residual here,
+    16× over the bound — which the closed-form custom VJP avoids."""
+    import re
+
+    from turbojax import gp as G
+    from turbojax.config import GPConfig
+
+    n, d, n_dev, panel = 4096, 8, 8, 256
+    x = jnp.asarray(rng.rand(n, d), jnp.float32)
+    y = jnp.asarray(rng.randn(n), jnp.float32)
+    mesh = PAR.make_mesh(n_dev, axis="rows")
+    config = GPConfig(kernel="matern52")
+    raw = G.default_params(d, config, jnp.float32)
+
+    grad_fn = jax.jit(
+        lambda r, xx, yy: jax.grad(
+            lambda rr: DL.distributed_mll(rr, xx, yy, mesh, config, panel)
+        )(r)
+    )
+    text = grad_fn.lower(raw, x, y).compile().as_text()
+    sizes = []
+    for m in re.finditer(r"f32\[([0-9,]+)\]", text):
+        total = 1
+        for t in m.group(1).split(","):
+            total *= int(t)
+        sizes.append(total)
+    rows = n // n_dev
+    biggest = max(sizes)
+    assert biggest <= 3 * rows * n, (
+        f"grad HLO holds a {biggest}-element buffer (> 3·(N/D)·N = {3 * rows * n}): "
+        "the O(N²/D) backward-memory bound is broken"
+    )
 
 
 def test_fit_gp_auto_routes_on_threshold(rng):

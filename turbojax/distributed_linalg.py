@@ -30,6 +30,12 @@ trailing-GEMM FLOPs (N³/D vs N³/3D per device, at MXU rates) for O(1)
 program size; ``unroll=True`` recovers the FLOP-optimal narrow updates for
 small panel counts.
 
+Gradients: ``distributed_mll`` carries a closed-form custom VJP
+(∂MLL/∂K = ½(ααᵀ − K⁻¹) via two extra distributed substitutions), so
+fitting keeps the O(N²/D) per-device memory bound — reverse-mode AD
+through the panel loop (still available for the raw primitives) would save
+an (N/D, N) carry per panel iteration instead.
+
 Exact (no approximation): verified against dense factorization/solves on
 the CPU mesh in tests/test_distributed_linalg.py, including hyperparameter
 FITTING (``fit_distributed_gp``: Adam on the distributed MLL matches the
@@ -317,13 +323,17 @@ def distributed_logdet_from_chol(l_mat: Array, mesh: Mesh) -> Array:
 
 def distributed_kernel_chol(
     params: Dict[str, Array], x: Array, mesh: Mesh, panel: int = 128,
-    kernel: str = "matern52", unroll: bool = False,
+    kernel: str = "matern52", unroll: bool = False, jitter: float = 0.0,
 ) -> Array:
     """Row-sharded Cholesky of k(X,X)+σ²I with the kernel row-blocks built
     *inside* the shard from replicated X — the largest per-device live array
     is the (N/D, N) row block, never the dense matrix. X is (N, d): tiny.
 
-    ``params`` must contain "lengthscale", "outputscale", "noise"."""
+    ``params`` must contain "lengthscale", "outputscale", "noise".
+    ``jitter > 0`` adds the dense lane's relative diagonal bump
+    ``jitter·(outputscale+noise)`` (matching ``linalg.cholesky_jittered``'s
+    mean-diagonal scaling for a stationary kernel and ``distributed_mll``'s
+    fit-time diagonal)."""
     from turbojax import kernels as K
 
     axis = mesh.axis_names[0]
@@ -335,7 +345,8 @@ def distributed_kernel_chol(
         row0 = _row0(axis, rows)
         k_loc = kfn(p, x_rows, x_full)  # (rows, n)
         r = jnp.arange(rows)
-        k_loc = k_loc.at[r, row0 + r].add(p["noise"])
+        bump = p["noise"] + jitter * (p["outputscale"] + p["noise"])
+        k_loc = k_loc.at[r, row0 + r].add(bump)
         return _local_chol(k_loc, axis, row0, rows, panel, n, unroll)
 
     fn = shard_map(
@@ -366,17 +377,10 @@ def distributed_cross_covariance(
 # Distributed MLL + hyperparameter fitting (the VERDICT-#2 fit driver)
 
 
-def distributed_mll(
-    raw, x: Array, y_std: Array, mesh: Mesh, config: GPConfig, panel: int = 128,
-) -> Array:
-    """Exact MLL −½(rᵀK⁻¹r + log|K| + n log 2π) with K row-block-sharded and
-    built in-shard — one fused shard_map program: kernel rows → blocked chol
-    → forward solve (quad = ‖L⁻¹r‖², no backward solve needed) → logdet.
-    Differentiable w.r.t. the raw hyperparameters (all collectives
-    transpose); Adam on this is ``fit_distributed_gp``.
-
-    Mirrors ``gp.mll`` (SURVEY.md C6) without masking: at the N ≫ chip scale
-    history buffers are exact-size, not masked-padded."""
+def _mll_parts(raw, x: Array, y_std: Array, mesh: Mesh, config: GPConfig, panel: int):
+    """Shared forward body: one fused shard_map program — kernel rows →
+    blocked chol → forward solve (quad = ‖L⁻¹r‖²) → logdet. Returns
+    (mll, L row-sharded, v = L⁻¹r row-sharded)."""
     from turbojax import gp as G
     from turbojax import kernels as K
 
@@ -398,15 +402,96 @@ def distributed_mll(
         v_loc = _local_solve_lower(l_loc, resid, axis, row0, rows, panel, n)
         quad = lax.psum(jnp.sum(v_loc * v_loc), axis)
         logdet = lax.psum(2.0 * jnp.sum(jnp.log(l_loc[r, row0 + r])), axis)
-        return quad, logdet
+        return quad, logdet, l_loc, v_loc
 
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(axis, None), P(None, None), P(axis), P()),
-        out_specs=(P(), P()), check_vma=False,
+        out_specs=(P(), P(), P(axis, None), P(axis, None)), check_vma=False,
     )
-    quad, logdet = fn(x, x, y_std, params)
-    return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi).astype(y_std.dtype))
+    quad, logdet, l_mat, v = fn(x, x, y_std, params)
+    mll_val = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi).astype(y_std.dtype))
+    return mll_val, l_mat, v
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def distributed_mll(
+    raw, x: Array, y_std: Array, mesh: Mesh, config: GPConfig, panel: int = 128,
+) -> Array:
+    """Exact MLL −½(rᵀK⁻¹r + log|K| + n log 2π) with K row-block-sharded and
+    built in-shard. Differentiable w.r.t. (raw, x, y_std); Adam on this is
+    ``fit_distributed_gp``.
+
+    The gradient is a **custom VJP from the closed-form GP identities**
+    (∂MLL/∂K = ½(ααᵀ − K⁻¹), ∂MLL/∂y = −α), computed with two extra
+    distributed substitutions against the identity — NOT reverse-mode AD
+    through the panel loop, which would save an (N/D, N) carry per panel
+    iteration (n/panel copies: more per-device memory than the dense N×N
+    matrix this module promises no device ever materializes). Backward
+    memory is O(N²/D) per device, same as the forward
+    (tests/test_distributed_linalg.py::test_distributed_mll_grad_memory).
+
+    Mirrors ``gp.mll`` (SURVEY.md C6) without masking: at the N ≫ chip scale
+    history buffers are exact-size, not masked-padded."""
+    return _mll_parts(raw, x, y_std, mesh, config, panel)[0]
+
+
+def _distributed_mll_fwd(raw, x, y_std, mesh, config, panel):
+    mll_val, l_mat, v = _mll_parts(raw, x, y_std, mesh, config, panel)
+    # α = K⁻¹r via one backward substitution of the forward's v = L⁻¹r
+    alpha = distributed_solve_upper_t(l_mat, v, mesh, panel)[:, 0]
+    return mll_val, (raw, x, l_mat, alpha)
+
+
+def _distributed_mll_bwd(mesh, config, panel, res, g):
+    from turbojax import gp as G
+    from turbojax import kernels as K
+
+    raw, x, l_mat, alpha = res
+    axis = mesh.axis_names[0]
+    n = x.shape[0]
+    rows = _check(n, mesh.devices.size, panel)
+    kfn = K.get_kernel(config.kernel)
+
+    # K⁻¹ row-sharded: distributed substitutions against the identity —
+    # O(N³/D) work, O(N²/D) per-device memory (the identity is generated
+    # in-shard by XLA iota fusion, never materialized on one device).
+    eye = jnp.eye(n, dtype=l_mat.dtype)
+    kinv = distributed_cho_solve(l_mat, eye, mesh, panel)
+
+    def local(raw_rep, x_rows, x_full, alpha_loc, alpha_full, kinv_loc, g_rep):
+        row0 = _row0(axis, rows)
+        r = jnp.arange(rows)
+
+        def build(raw_, x_rows_, x_full_):
+            p = G.constrain_params(raw_, config)
+            bump = p["noise"] + config.jitter * (p["outputscale"] + p["noise"])
+            k_loc = kfn(p, x_rows_, x_full_).at[r, row0 + r].add(bump)
+            return k_loc, p["mean"]
+
+        _, vjp = jax.vjp(build, raw_rep, x_rows, x_full)
+        # ∂MLL/∂K = ½(ααᵀ − K⁻¹), entrywise (the in-shard build assigns
+        # every K entry exactly once across shards); ∂MLL/∂mean = Σα,
+        # accumulated from per-shard partials via the psum below.
+        gk_loc = (0.5 * g_rep) * (alpha_loc[:, None] * alpha_full[None, :] - kinv_loc)
+        gmean_loc = g_rep * jnp.sum(alpha_loc)
+        raw_bar, xr_bar, xf_bar = vjp((gk_loc, gmean_loc))
+        raw_bar = jax.tree.map(lambda t: lax.psum(t, axis), raw_bar)
+        xf_bar = lax.psum(xf_bar, axis)
+        return raw_bar, xr_bar, xf_bar
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(None, None), P(axis), P(), P(axis, None), P()),
+        out_specs=(P(), P(axis, None), P()), check_vma=False,
+    )
+    raw_bar, xr_bar, xf_bar = fn(raw, x, x, alpha, alpha, kinv, g)
+    x_bar = xr_bar + xf_bar  # row-block partials + replicated-operand partials
+    y_bar = -g * alpha  # ∂MLL/∂y_std = −K⁻¹r
+    return raw_bar, x_bar, y_bar
+
+
+distributed_mll.defvjp(_distributed_mll_fwd, _distributed_mll_bwd)
 
 
 @partial(jax.jit, static_argnames=("mesh", "config", "panel", "steps"))
@@ -423,10 +508,28 @@ def _fit_distributed_raw(raw0, x, y_std, mesh, config: GPConfig, panel: int, ste
     def body(_, carry):
         raw, opt_state = carry
         grads = jax.grad(loss)(raw)
+        # NaN robustness, mirroring gp._fit_one's Adam path (the dense
+        # lane's "fit never returns non-finite hypers" invariant): one bad
+        # in-shard panel Cholesky at extreme hypers yields NaN grads that
+        # would poison the whole trajectory — zero the grads for that step
+        # and keep the previous finite iterate.
+        grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
         updates, opt_state = opt.update(grads, opt_state, raw)
-        return optax.apply_updates(raw, updates), opt_state
+        new_raw = optax.apply_updates(raw, updates)
+        ok = jnp.all(
+            jnp.stack([jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(new_raw)])
+        )
+        raw = jax.tree.map(lambda new, old: jnp.where(ok, new, old), new_raw, raw)
+        return raw, opt_state
 
     raw_fin, _ = lax.fori_loop(0, steps, body, (raw0, opt.init(raw0)))
+    # belt-and-braces: the iterate chain keeps the last finite raw, so this
+    # only fires if raw0 itself was poisoned — fall back to it regardless so
+    # the invariant is structural, not incidental
+    fin = jnp.all(
+        jnp.stack([jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(raw_fin)])
+    )
+    raw_fin = jax.tree.map(lambda a, b: jnp.where(fin, a, b), raw_fin, raw0)
     return raw_fin, loss(raw_fin)
 
 
@@ -445,6 +548,12 @@ def fit_distributed_gp(
     factorization for posterior queries. Single-restart from the
     reference-parity default init (or ``warm_start``): at this scale one fit
     is the budget; restart diversity comes from the warm-started outer loop.
+
+    Invariant (shared with the dense ``gp.fit_gp``, BASELINE.md): the fit
+    never returns non-finite hypers — NaN gradients from a failed in-shard
+    panel Cholesky are dropped per-step, a poisoned warm start falls back
+    to the defaults, and the cached factorization gets the escalating-jitter
+    rescue (``DistributedGP.fit``).
     """
     from turbojax import gp as G
     from turbojax import transforms as T
@@ -456,10 +565,14 @@ def fit_distributed_gp(
     y_std = (y - y_mean) / y_sd
 
     raw0 = warm_start if warm_start is not None else G.default_params(d, config, x.dtype)
+    if warm_start is not None and not all(
+        bool(jnp.all(jnp.isfinite(leaf))) for leaf in jax.tree.leaves(warm_start)
+    ):
+        raw0 = G.default_params(d, config, x.dtype)  # sanitize like gp.fit_gp
     raw_fin, _ = _fit_distributed_raw(raw0, x, y_std, mesh, config, panel, steps)
     params = G.constrain_params(raw_fin, config)
 
-    dgp = DistributedGP(mesh, kernel=config.kernel, panel=panel)
+    dgp = DistributedGP(mesh, kernel=config.kernel, panel=panel, jitter=config.jitter)
     dgp.fit(
         x, y_std, params["lengthscale"], params["outputscale"], params["noise"],
         mean=params["mean"],
@@ -490,10 +603,12 @@ class DistributedGP:
     or fit the hyperparameters too: ``fit_distributed_gp(x, y, mesh)``.
     """
 
-    def __init__(self, mesh: Mesh, kernel: str = "matern52", panel: int = 128):
+    def __init__(self, mesh: Mesh, kernel: str = "matern52", panel: int = 128,
+                 jitter: float = 1e-6):
         self.mesh = mesh
         self.kernel = kernel
         self.panel = panel
+        self.jitter = jitter
         self.y_mean = 0.0  # standardization constants (set by fit_distributed_gp)
         self.y_sd = 1.0
 
@@ -506,9 +621,21 @@ class DistributedGP:
             "noise": jnp.asarray(noise, x.dtype),
         }
         self.mean = jnp.asarray(mean, x.dtype)
-        self.chol = distributed_kernel_chol(
-            self.params, x, self.mesh, self.panel, kernel=self.kernel
-        )
+        # cached factorization with the fit-time diagonal (same bump as
+        # distributed_mll) plus the dense lane's escalating-jitter rescue
+        # (C3 psd_safe_cholesky parity): near-duplicate rows at fitted
+        # hypers can defeat the base jitter in f32; this is an eager host
+        # method, so the ladder is a plain retry loop — no compute-all
+        # lax.cond branches.
+        chol = None
+        for scale in (1.0, 1e2, 1e4):
+            chol = distributed_kernel_chol(
+                self.params, x, self.mesh, self.panel, kernel=self.kernel,
+                jitter=self.jitter * scale,
+            )
+            if bool(jnp.all(jnp.isfinite(chol))):
+                break
+        self.chol = chol
         self.y = y
         self.alpha = distributed_cho_solve(
             self.chol, (y - self.mean)[:, None], self.mesh, self.panel
