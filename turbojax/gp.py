@@ -170,9 +170,15 @@ def _masked_kernel_chol(
     if ladder:
         # escalating-jitter rescue (C3 psd_safe_cholesky parity) for the
         # cached factorization: near-duplicate rows at fitted hypers can
-        # defeat the fixed jitter in f32. Only the taken lax.cond branch
-        # executes here (not vmapped); the vmapped fit keeps the fixed
-        # fast path (a cond ladder degrades to compute-all under vmap).
+        # defeat the fixed jitter in f32. Cost note: un-vmapped, only the
+        # taken lax.cond branch executes (one factorization in the common
+        # case); under TuRBO-m's vmapped per-TR fit the cond degrades to
+        # compute-all — 3 (cap,cap) factorizations per TR per refit. That
+        # is accepted: the grid fit already runs 15 vmapped factorizations
+        # per refit, so the rescue adds ~20% to the fit's chol count in
+        # exchange for per-TR rescue (a shared post-hoc fallback would
+        # re-factorize ALL TRs at the escalated jitter whenever any one
+        # fails, changing healthy TRs' numerics).
         return L.safe_cholesky(
             k_mat, (config.jitter, 1e2 * config.jitter, 1e4 * config.jitter)
         )
