@@ -1,0 +1,111 @@
+"""Config-5 (TuRBO-m m=5, rover60, 2000 evals) quality campaign
+(VERDICT r2 tasks 2 and 8).
+
+Variants:
+  base      — config 5 as registered (robust TS ladder default-on)
+  ard       — fit_optimizer="grid+adam" (ARD trust-region geometry)
+  f64ts     — ts_dtype="float64" (exact-law TS; slow at m=5 × cap 2048 —
+              measure wall before committing to it)
+  ard_f64ts — both
+
+Chaos probe (VERDICT r2 weak #4 / task 8): --fixed-cap runs with
+full-capacity buffers from iteration 0 (no bucket ladder) — identical
+mathematics to the bucketed run; any result difference is 1-ulp
+reduction-order sensitivity, quantified per seed.
+
+Usage:
+    python benchmarks/campaign_rover.py --variant base --seeds 10 \
+        --out /tmp/rover_base.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def apply_variant(cfg, variant: str):
+    gp, turbo = cfg.gp, cfg.turbo
+    if "ard" in variant:
+        gp = dataclasses.replace(gp, fit_optimizer="grid+adam")
+    if "f64ts" in variant:
+        turbo = dataclasses.replace(turbo, ts_dtype="float64")
+    return dataclasses.replace(cfg, gp=gp, turbo=turbo)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="base",
+                    choices=["base", "ard", "f64ts", "ard_f64ts"])
+    ap.add_argument("--seeds", type=int, default=10)
+    ap.add_argument("--seed-start", type=int, default=0)
+    ap.add_argument("--m", type=int, default=None)
+    ap.add_argument("--max-evals", type=int, default=None)
+    ap.add_argument("--fixed-cap", action="store_true",
+                    help="full-capacity buffers from iter 0 (chaos probe)")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu or os.environ.get("TURBOJAX_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if "f64ts" in args.variant:
+        jax.config.update("jax_enable_x64", True)
+
+    from configs import get_config
+    from turbojax import benchmarks as B
+    from turbojax.compile_cache import enable_persistent_cache
+    from turbojax.turbo_m import run_turbom
+
+    enable_persistent_cache()
+    cfg = apply_variant(get_config("turbom5_rover60"), args.variant)
+    turbo = cfg.turbo
+    if args.max_evals:
+        turbo = dataclasses.replace(turbo, max_evals=args.max_evals)
+    b = B.get_benchmark(cfg.benchmark)
+    m = args.m or cfg.m
+    n_loc = turbo.n_init + turbo.n_iters * turbo.batch_size if args.fixed_cap else None
+
+    bests, walls = [], []
+    for s in range(args.seed_start, args.seed_start + args.seeds):
+        t0 = time.perf_counter()
+        carries, trace = run_turbom(
+            jax.random.key(s), b.fn, b.lb, b.ub, turbo, cfg.gp, m=m,
+            n_loc=n_loc, host_loop=True,
+        )
+        best = float(np.asarray(carries.best_y).min())
+        wall = time.perf_counter() - t0
+        bests.append(best)
+        walls.append(wall)
+        print(json.dumps({"seed": s, "best": round(best, 4), "wall_s": round(wall, 1)}),
+              flush=True)
+    summary = {
+        "variant": args.variant + ("_fixedcap" if args.fixed_cap else ""),
+        "backend": jax.default_backend(),
+        "m": m,
+        "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
+        "bests": [round(v, 4) for v in bests],
+        "median": round(float(np.median(bests)), 4),
+        "mean": round(float(np.mean(bests)), 4),
+        "min": round(float(np.min(bests)), 4),
+        "max": round(float(np.max(bests)), 4),
+        "wall_per_run_s": round(float(np.mean(walls[1:] or walls)), 1),
+    }
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

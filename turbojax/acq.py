@@ -70,6 +70,70 @@ def upper_confidence_bound(mu: Array, var: Array, kappa: float = 2.0) -> Array:
 # Thompson sampling (SURVEY.md C13)
 
 
+#: Escalating absolute-floor rungs for the TS-covariance factorization, in
+#: units of outputscale·y_std² (the magnitude of the standardized-covariance
+#: OPERANDS). The f32 assembly of cov = k** − vᵀv is a catastrophic
+#: cancellation whose absolute error stays O(√n·eps·operand) no matter how
+#: small the posterior covariance itself gets at deep trust-region
+#: refinement — measured λ_min(cov_f32 − cov_ref) ≈ −7e-6·scale on CPU and
+#: −4e-5·scale on TPU (XLA's chol/trsm expansions run their internal dots
+#: at reduced MXU precision; benchmarks/exp_ts_numerics.py). The round-2
+#: bump of 1e-6·max(diag cov) was ~1000× below that floor at deep
+#: refinement: the factorization silently went NaN ON BOTH BACKENDS and
+#: q-batch selection degenerated to first-NaN-index garbage — the isolated
+#: cause of the config-4 TPU regret gap (VERDICT r2 #1).
+_TS_EPS_RUNGS = (3e-5, 3e-4, 3e-3)
+#: f64 path: the cancellation floor is ~1e-14·scale, so the first rung can
+#: sit 9 orders lower without risking the factorization — the exact-law
+#: sampler should not pay the f32 ladder's noise floor
+_TS_EPS_RUNGS_F64 = (1e-9, 3e-5, 3e-3)
+
+
+def _robust_cov_chol(cov: Array, scale_abs: Array) -> Array:
+    """Cholesky of the TS covariance with an escalating error-floor bump.
+
+    Rung i adds ``1e-6·max(diag) + rungs[i]·scale_abs`` (rungs picked per
+    dtype); the next rung is attempted only if the factor comes back
+    non-finite (lax.cond — one factorization in the common case; under
+    TuRBO-m's vmapped per-TR sampler the cond computes all rungs, ~2
+    extra sub-ms chols)."""
+    rungs = _TS_EPS_RUNGS_F64 if cov.dtype == jnp.float64 else _TS_EPS_RUNGS
+    eye = jnp.eye(cov.shape[0], dtype=cov.dtype)
+    cmax = jnp.maximum(jnp.max(jnp.diagonal(cov)), 1e-12)
+
+    def attempt(i: int) -> Array:
+        bump = 1e-6 * cmax + jnp.asarray(rungs[i], cov.dtype) * scale_abs
+        l_cov = jnp.linalg.cholesky(cov + bump * eye)
+        if i == len(rungs) - 1:
+            return l_cov
+        return lax.cond(
+            jnp.all(jnp.isfinite(l_cov)), lambda: l_cov, lambda: attempt(i + 1)
+        )
+
+    return attempt(0)
+
+
+def _state_f64(state: G.GPState, config: GPConfig) -> G.GPState:
+    """Rebuild the posterior cache in float64 from an f32 fitted state
+    (``ts_dtype="float64"``): cast buffers/hypers, refactorize K+σ²I, and
+    recover the standardized residual from the cached solve (r = L Lᵀ α —
+    an f32-accuracy r only perturbs the posterior MEAN at ~1e-7·y, while
+    the covariance, which is what deep-refinement TS quality rides on,
+    depends only on X and the hypers and becomes fully f64)."""
+    f64 = jnp.float64
+    x64 = state.x_buf.astype(f64)
+    raw64 = jax.tree.map(lambda a: a.astype(f64), state.raw)
+    params64 = G.constrain_params(raw64, config)
+    chol64 = G._masked_kernel_chol(params64, x64, state.mask, config)
+    resid = state.chol @ (state.chol.T @ state.alpha)
+    resid64 = jnp.where(state.mask, resid.astype(f64), 0.0)
+    alpha64 = L.cho_solve(chol64, resid64)
+    return G.GPState(
+        x_buf=x64, mask=state.mask, params=params64, raw=raw64, chol=chol64,
+        alpha=alpha64, y_mean=state.y_mean.astype(f64), y_std=state.y_std.astype(f64),
+    )
+
+
 def thompson_samples(
     key: Array,
     state: G.GPState,
@@ -77,23 +141,39 @@ def thompson_samples(
     q: int,
     config: GPConfig,
     chunk_size: Optional[int] = None,
+    dtype: Optional[str] = None,
 ) -> Array:
     """Draw ``q`` joint posterior sample rows over the candidate set.
 
     Returns (q, n_cand) function-value draws in original y units. Joint
     covariance is factorized per chunk of the candidate axis (exact joint
-    law within a chunk, independent across chunks — SURVEY.md §7.3.5)."""
+    law within a chunk, independent across chunks — SURVEY.md §7.3.5).
+
+    ``dtype="float64"`` computes the posterior covariance, its factor, and
+    the draws in f64 (state refactorized once per call): at deep
+    trust-region refinement the f32 covariance error floor exceeds the
+    covariance itself, and the f64 path measurably restores the exact
+    selection law (benchmarks/exp_ts_numerics.py). Cost: one f64
+    factorization + solve per call (~50× the f32 rate on TPU — opt in
+    where quality matters more than acquisition latency)."""
     m = xs.shape[0]
+    out_dtype = xs.dtype
+    if dtype == "float64":
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                'ts_dtype="float64" requires jax_enable_x64 '
+                "(jax.config.update('jax_enable_x64', True))"
+            )
+        state = _state_f64(state, config)
+        xs = xs.astype(jnp.float64)
+    scale_abs = (state.params["outputscale"] * state.y_std**2).astype(xs.dtype)
 
     def sample_chunk(k: Array, chunk: Array) -> Array:
         mu, cov = G.posterior_cov(state, chunk, config)
-        # small relative jitter: posterior covariance of near-duplicate
-        # candidates is rank-deficient by construction
-        cmax = jnp.maximum(jnp.max(jnp.diagonal(cov)), 1e-12)
-        bumped = cov + (1e-6 * cmax) * jnp.eye(chunk.shape[0], dtype=cov.dtype)
-        l_cov = jnp.linalg.cholesky(bumped)
+        l_cov = _robust_cov_chol(cov, scale_abs)
         z = jax.random.normal(k, (q, chunk.shape[0]), dtype=cov.dtype)
-        return mu[None, :] + jnp.matmul(z, l_cov.T, precision=jax.lax.Precision.HIGHEST)
+        draws = mu[None, :] + jnp.matmul(z, l_cov.T, precision=jax.lax.Precision.HIGHEST)
+        return draws.astype(out_dtype)
 
     if chunk_size is not None and m > chunk_size and m % chunk_size == 0:
         n_chunks = m // chunk_size
@@ -119,7 +199,11 @@ def select_q_batch(samples: Array, valid: Optional[Array] = None) -> Tuple[Array
     taken0 = jnp.zeros((m,), jnp.bool_) if valid is None else ~valid
 
     def step(taken, row):
-        masked = jnp.where(taken, big, row)
+        # NaN/+inf-proof: a degenerate draw (failed covariance factor)
+        # must never be selectable — jnp.argmin would otherwise return
+        # the first NaN index, silently turning the q-batch into
+        # deterministic garbage (the round-2 deep-refinement failure mode)
+        masked = jnp.where(taken | ~jnp.isfinite(row), big, row)
         idx = jnp.argmin(masked)
         return taken.at[idx].set(True), (idx, masked[idx])
 
@@ -134,9 +218,10 @@ def thompson_select(
     q: int,
     config: GPConfig,
     chunk_size: Optional[int] = None,
+    dtype: Optional[str] = None,
 ) -> Tuple[Array, Array]:
     """Full batched-TS acquisition: draw, then select q points [B:9]."""
-    samples = thompson_samples(key, state, xs, q, config, chunk_size)
+    samples = thompson_samples(key, state, xs, q, config, chunk_size, dtype)
     idxs, vals = select_q_batch(samples)
     return xs[idxs], vals
 

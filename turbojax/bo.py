@@ -58,6 +58,7 @@ class BOConfig:
     local_sigma: float = 0.05
     ts_chunk: Optional[int] = None
     ts_sampler: str = "exact"  # "exact" (chunked joint chol [B:9]) | "rff"
+    ts_dtype: Optional[str] = None  # "float64": exact-law TS (acq module)
     rff_features: int = 1024
     chol_mode: str = "auto"  # "incremental" | "refactor" | "auto"
     # Measured on TPU v5e at N=2048: one chol_append is a latency-bound
@@ -169,7 +170,9 @@ def _suggest(
         if bo.ts_sampler == "rff":
             xs, _ = A.rff_thompson_select(kt, state, cands, bo.batch_size, config, bo.rff_features)
         else:
-            xs, _ = A.thompson_select(kt, state, cands, bo.batch_size, config, bo.ts_chunk)
+            xs, _ = A.thompson_select(
+                kt, state, cands, bo.batch_size, config, bo.ts_chunk, bo.ts_dtype
+            )
         return xs
     mu, var = G.gp_posterior(state, cands, config)
     if bo.acq == "ei":

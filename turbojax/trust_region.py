@@ -54,6 +54,9 @@ class TurboConfig:
     local_sigma: float = 0.3
     ts_chunk: Optional[int] = None
     ts_sampler: str = "exact"  # "exact" (chunked joint chol) | "rff" (C13 option)
+    ts_dtype: Optional[str] = None  # "float64": exact-law TS at deep TR
+    # refinement (f64 covariance+factor+draws; needs jax_enable_x64) —
+    # see acq.thompson_samples and benchmarks/exp_ts_numerics.py
     rff_features: int = 1024
     tr: TRConfig = TRConfig()
 
@@ -208,7 +211,9 @@ def turbo_propose(
         if cfg.ts_sampler == "rff":
             xs, _ = A.rff_thompson_select(k_ts, state, cands, q, config, cfg.rff_features)
         else:
-            xs, _ = A.thompson_select(k_ts, state, cands, q, config, cfg.ts_chunk)
+            xs, _ = A.thompson_select(
+                k_ts, state, cands, q, config, cfg.ts_chunk, cfg.ts_dtype
+            )
         return c, xs
 
     carry, xs = lax.cond(in_search, search_proposals, init_proposals, carry)

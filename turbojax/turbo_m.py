@@ -85,7 +85,9 @@ def _tr_proposals_and_values(
         cands = S.tr_candidates(
             k_cand, center, c.tr.length, ls, n_cand, cfg.local_frac, cfg.local_sigma
         )
-        values = A.thompson_samples(k_ts, state, cands, q, config, cfg.ts_chunk)
+        values = A.thompson_samples(
+            k_ts, state, cands, q, config, cfg.ts_chunk, cfg.ts_dtype
+        )
         return c, cands, values
 
     return lax.cond(in_search, search_branch, init_branch, carry)
@@ -105,7 +107,10 @@ def global_allocate(ts_values: Array) -> Tuple[Array, Array]:
     big = jnp.asarray(jnp.finfo(flat.dtype).max, flat.dtype)
 
     def step(taken, row):
-        masked = jnp.where(taken, big, row)
+        # NaN-proof like acq.select_q_batch: a degenerate TR's draws must
+        # never win the allocation (the +inf init-phase placeholders are
+        # equally excluded here — argmin never picked them anyway)
+        masked = jnp.where(taken | ~jnp.isfinite(row), big, row)
         idx = jnp.argmin(masked)
         return taken.at[idx].set(True), idx
 
