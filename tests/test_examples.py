@@ -50,6 +50,26 @@ def test_example_turbom_rover():
     assert "best y" in _run("run_turbom_rover.py", "--evals", "60", "--m", "2")
 
 
+def test_example_distributed_bo():
+    """The N >> chip BO product path example on a 4-device virtual mesh."""
+    env = dict(os.environ)
+    env["TURBOJAX_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    )
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "turbojax-xla-cache"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "examples", "run_distributed_bo.py"),
+         "--devices", "4", "--force-distributed", "--evals", "32"],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert out.returncode == 0, f"distributed BO example failed:\n{out.stderr}"
+    assert "best y" in out.stdout
+
+
 @pytest.mark.parametrize("mesh", [2])
 def test_example_turbom_rover_mesh(mesh):
     """The --mesh flag is real (VERDICT r2 weak #3: it was advertised but

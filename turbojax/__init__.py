@@ -25,6 +25,7 @@ from turbojax import sampling as sampling
 from turbojax import transforms as transforms
 from turbojax.api import Optimizer, Turbo1, TurboM, optimize
 from turbojax.bo import BOConfig, run_bo
+from turbojax.bo_distributed import run_bo_distributed
 from turbojax.config import GPConfig, TRConfig
 from turbojax.distributed_linalg import DistributedGP, fit_distributed_gp, fit_gp_auto
 from turbojax.gp import GPParams, GPState, fit_gp, gp_posterior, make_gp_state
@@ -62,6 +63,7 @@ __all__ = [
     "optimize",
     "parallel",
     "run_bo",
+    "run_bo_distributed",
     "run_turbo1",
     "run_turbom",
     "sampling",

@@ -714,20 +714,22 @@ def fit_gp_auto(
     mesh: Optional[Mesh] = None,
     panel: int = 128,
     budget_bytes: int = DENSE_BUDGET_BYTES,
+    warm_start=None,
 ):
     """Fit an exact GP, auto-routing between the single-chip masked path
     (``gp.fit_gp``: multi-restart, L-BFGS/Adam) and the distributed path
     (``fit_distributed_gp``: Adam over the row-sharded MLL) on the
     (N, mesh, dtype) memory threshold (``should_distribute``). Returns an
-    object with ``.posterior(xs) -> (mu, var)`` and ``.raw``."""
+    object with ``.posterior(xs) -> (mu, var)``, ``.mll()`` and ``.raw``
+    (pass ``.raw`` back as ``warm_start`` for outer-loop refits)."""
     from turbojax import gp as G
     from turbojax import linalg as L
     from turbojax import transforms as T
 
     n = x.shape[0]
     if should_distribute(n, mesh, x.dtype, budget_bytes):
-        return fit_distributed_gp(x, y, mesh, config, panel)
+        return fit_distributed_gp(x, y, mesh, config, panel, warm_start=warm_start)
     mask = L.row_mask(n, jnp.asarray(n))
-    state = G.fit_gp(key, x, y, mask, config)
+    state = G.fit_gp(key, x, y, mask, config, warm_start=warm_start)
     y_std_buf, _, _ = T.standardize(y, mask)
     return _DenseGPAdapter(state, config, y_std_buf)
