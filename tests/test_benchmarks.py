@@ -59,6 +59,30 @@ def test_rover60_properties():
     assert v_straight < 100.0  # crosses some obstacles but beats any random path
 
 
+def test_lunar60_properties():
+    b = B.get_benchmark("lunar60")
+    assert b.dim == 60
+    # physics sanity: zero thrust free-falls through the terrain -> large
+    # violation cost; a constant gentle up-thrust hover does much better
+    v_zero = float(b(jnp.zeros((1, 60)))[0])
+    hover = np.tile([0.0, 1.0 / 3.0], 30)  # a = a_max/3 * 1 = g: near-hover
+    v_hover = float(b(jnp.asarray(hover.reshape(1, 60)))[0])
+    assert v_hover < v_zero
+    # calibration pins (benchmarks.py registry note): random is far from
+    # the best-known 0.63, and the terrain makes random much worse than
+    # the no-ridge cost scale
+    rng_ = np.random.RandomState(0)
+    v_rand = np.asarray(b(jnp.asarray(rng_.rand(64, 60) * 2.0 - 1.0)))
+    assert v_rand.min() > b.optimum + 0.5
+    assert np.all(np.isfinite(v_rand))
+    # dynamics coupling: perturbing an EARLY control changes the cost more
+    # than perturbing the last one (global coupling — unlike rover60)
+    base = jnp.asarray(hover.reshape(1, 60))
+    d_early = abs(float(b(base.at[0, 1].add(0.3))[0]) - v_hover)
+    d_late = abs(float(b(base.at[0, 59].add(0.3))[0]) - v_hover)
+    assert d_early > d_late
+
+
 def test_batching_consistency(rng):
     for name in B.BENCHMARKS:
         b = B.get_benchmark(name)
