@@ -44,13 +44,15 @@ def test_config4_full_budget_regret_parity():
         oracle.append(by - b.optimum)
 
     med_ours, med_oracle = float(np.median(ours)), float(np.median(oracle))
-    # parity band: same regret regime at the full budget. Ackley-10 TuRBO
-    # results are heavy-tailed across seeds (local minima at ~2-5); the
-    # band asserts our median is within +2.0 of the oracle median and in
-    # the canonical published range (< 5.5), and that both crush random
-    # search (~13-15 at 1000 points).
-    assert med_ours < 5.5, f"median regret {med_ours:.2f} out of canonical range"
-    assert med_ours <= med_oracle + 2.0, (
+    # parity band (tightened in round 3 after the deep-refinement TS fix —
+    # VERDICT r2 task 1 done-criteria): median ≤ 1.0 absolute and within
+    # +0.5 of the oracle median. Round-3 campaign: TPU median 0.18 over 10
+    # seeds (benchmarks/campaign_config4.py) vs oracle 0.46.
+    assert med_ours <= 1.0, (
+        f"median regret {med_ours:.2f} > 1.0 "
+        f"(ours per-seed: {[round(r, 2) for r in ours]})"
+    )
+    assert med_ours <= med_oracle + 0.5, (
         f"full-budget parity violated: ours {med_ours:.2f} vs oracle {med_oracle:.2f} "
         f"(ours per-seed: {[round(r, 2) for r in ours]})"
     )
