@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--seed-start", type=int, default=0)
     ap.add_argument("--m", type=int, default=None)
+    ap.add_argument("--benchmark", default=None,
+                    help="override the objective (e.g. lunar60)")
+    ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-evals", type=int, default=None)
     ap.add_argument("--fixed-cap", action="store_true",
                     help="full-capacity buffers from iter 0 (chaos probe)")
@@ -72,7 +75,9 @@ def main():
     turbo = cfg.turbo
     if args.max_evals:
         turbo = dataclasses.replace(turbo, max_evals=args.max_evals)
-    b = B.get_benchmark(cfg.benchmark)
+    if args.batch_size:
+        turbo = dataclasses.replace(turbo, batch_size=args.batch_size)
+    b = B.get_benchmark(args.benchmark or cfg.benchmark)
     m = args.m or cfg.m
     n_loc = turbo.n_init + turbo.n_iters * turbo.batch_size if args.fixed_cap else None
 
@@ -91,8 +96,10 @@ def main():
               flush=True)
     summary = {
         "variant": args.variant + ("_fixedcap" if args.fixed_cap else ""),
+        "benchmark": args.benchmark or cfg.benchmark,
         "backend": jax.default_backend(),
         "m": m,
+        "batch_size": turbo.batch_size,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
         "bests": [round(v, 4) for v in bests],
         "median": round(float(np.median(bests)), 4),
