@@ -44,6 +44,21 @@ def test_config4_full_budget_regret_parity():
         oracle.append(by - b.optimum)
 
     med_ours, med_oracle = float(np.median(ours)), float(np.median(oracle))
+    import json
+
+    print(
+        "\nTPU_LANE "
+        + json.dumps(
+            {
+                "gate": "config4_full_budget_parity",
+                "median_ours": round(med_ours, 4),
+                "median_oracle": round(med_oracle, 4),
+                "ours_per_seed": [round(r, 3) for r in ours],
+                "oracle_per_seed": [round(float(r), 3) for r in oracle],
+            }
+        ),
+        flush=True,
+    )
     # parity band (tightened in round 3 after the deep-refinement TS fix —
     # VERDICT r2 task 1 done-criteria): median ≤ 1.0 absolute and within
     # +0.5 of the oracle median. Round-3 campaign: TPU median 0.18 over 10

@@ -33,12 +33,22 @@ pytestmark = pytest.mark.skipif(
 TARGET = 10.0  # BASELINE.json:5
 
 
+def _record(gate: str, **measured):
+    """Print one greppable JSON line per gate (run pytest with -s) so each
+    round's TPU-lane results can be committed as an artifact
+    (TPU_LANE_r{N}.json — VERDICT r2 task 6) instead of narrated."""
+    import json
+
+    print("\nTPU_LANE " + json.dumps({"gate": gate, **{k: round(float(v), 4) for k, v in measured.items()}}), flush=True)
+
+
 def test_fixed_hyper_iteration_speedup_vs_oracle():
     import bench
 
     x, y, cands = bench._data()
     t_tpu = bench.bench_tpu(x, y, cands)
     t_cpu = bench.bench_cpu_oracle(x, y, cands)
+    _record("fixed_hyper_iteration", tpu_s=t_tpu, cpu_s=t_cpu, speedup=t_cpu / t_tpu)
     assert t_cpu / t_tpu >= TARGET, (
         f"fixed-hyper BO iteration speedup {t_cpu / t_tpu:.1f}x < {TARGET}x "
         f"(TPU {t_tpu * 1e3:.1f} ms vs CPU oracle {t_cpu:.2f} s)"
@@ -105,6 +115,7 @@ def test_refit_iteration_speedup_vs_oracle():
         rng.randn(q, 1000) @ lc.T
     t_cpu = time.perf_counter() - t0
 
+    _record("refit_iteration_lbfgs15", tpu_s=t_tpu, cpu_s=t_cpu, speedup=t_cpu / t_tpu)
     assert t_cpu / t_tpu >= TARGET, (
         f"with-refit BO iteration speedup {t_cpu / t_tpu:.1f}x < {TARGET}x "
         f"(TPU {t_tpu:.2f} s vs CPU oracle {t_cpu:.2f} s)"
@@ -146,4 +157,5 @@ def test_ts_q10_acquisition_latency():
         out = acq(jax.random.key(i))
     jax.block_until_ready(out)
     t_ms = (time.perf_counter() - t0) / reps * 1e3
+    _record("ts_q10_latency", latency_ms=t_ms, budget_ms=20.0)
     assert t_ms < 20.0, f"ts_q10 acquisition latency {t_ms:.1f} ms > 20 ms budget"
