@@ -195,13 +195,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="run the JAX lane on CPU")
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--tpu-only", action="store_true",
+        help="skip the (slow, ~40 min) oracle lane; merge oracle seconds "
+        "from --oracle-from instead (valid while oracle/ is unchanged)",
+    )
+    ap.add_argument("--oracle-from", default=None,
+                    help="prior --json output to take oracle_cpu_s rows from")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    oracle = bench_oracle()
+    if args.tpu_only:
+        oracle = {}
+        if args.oracle_from:
+            with open(args.oracle_from) as f:
+                oracle = {
+                    r["bench"]: r["oracle_cpu_s"]
+                    for r in json.load(f)
+                    if r.get("oracle_cpu_s")
+                }
+    else:
+        oracle = bench_oracle()
     ours = bench_jax()
     rows = []
     for k in sorted(ours):
