@@ -204,6 +204,12 @@ def fused_ts_cov(
     n training rows) plus the kernel-function epilogue and the diagonal
     bump — the m×m prior matrix and the vᵀv product never round-trip HBM.
 
+    RETIRED — measured negative, NOT routed to the product path: at BO
+    sizes (n=2000, chunk 1000) the fusion was slower than XLA's own
+    schedule (BENCH_pallas.json), and the σ²/cov cancellation demands the
+    HIGHEST-precision dense path anyway (docs/DESIGN.md §2b/§5b). Kept,
+    with its parity test, as the documented negative result.
+
     Args:
       zs: (m, d) candidates pre-scaled by 1/lengthscale; m % 128 == 0.
       v:  (n, m) forward-solve L⁻¹K* (training axis first).

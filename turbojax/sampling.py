@@ -38,7 +38,13 @@ def _direction_numbers(dim: int) -> np.ndarray:
 
 
 def sobol_raw(dim: int, n: int, start_index: int = 0, dtype=jnp.float32) -> Array:
-    """Unscrambled Sobol points i = start..start+n−1 in [0,1)^dim (pure jnp)."""
+    """Unscrambled Sobol points i = start..start+n−1 in [0,1)^dim (pure jnp).
+
+    Deliberately test-only: the product path always applies the digital
+    shift (``sobol``, RQMC), and this unshifted variant exists as the
+    bit-exactness witness vs ``scipy.stats.qmc.Sobol`` in
+    ``test_sampling.py`` — proof the in-jit Joe-Kuo generator matches the
+    reference generator exactly before randomization."""
     sv = jnp.asarray(_direction_numbers(dim))  # static constant under jit
     idx = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(start_index)
     gray = idx ^ (idx >> 1)
