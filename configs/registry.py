@@ -7,6 +7,7 @@
 | 3 | ts_q10            | batched TS (q=10) over a 5k-point candidate set [B:9]     |
 | 4 | turbo1_ackley10   | TuRBO-1, Ackley-10D, 1000 evals, incremental chol [B:10]  |
 | 5 | turbom5_rover60   | TuRBO-m (m=5), 60-D rover-style, N=2000, vmapped [B:11]   |
+| 5b| turbom5_lunar60   | TuRBO-m (m=5), 60-D lunar-style descent dynamics [B:11]   |
 """
 
 from __future__ import annotations
@@ -107,6 +108,26 @@ CONFIGS = {
             n_candidates=5000, ts_chunk=1000, tr=TRConfig(),
         ),
         note="m=5 vmapped surrogates, global TS allocation, independent restarts",
+    ),
+    # 5b — the second hermetic 60-D problem (dynamics-flavored lunar-style
+    # descent control; "rover/lunar-style" [B:11]). Same TuRBO-m shape as
+    # config 5 but the isotropic grid trainer: ARD measured neutral on the
+    # globally-coupled lunar dynamics at 2x wall (BASELINE.md round-3
+    # lunar60 campaign: grid 1.629 median vs grid+adam 1.694, 5 seeds).
+    "turbom5_lunar60": BenchConfig(
+        name="turbom5_lunar60",
+        benchmark="lunar60",
+        method="turbom",
+        m=5,
+        gp=GPConfig(
+            kernel="matern52", fit_restarts=2, fit_optimizer="grid",
+            fit_maxiter=50, fit_maxiter_warm=25, fit_lr=0.1,
+        ),
+        turbo=TurboConfig(
+            n_init=40, max_evals=2000, batch_size=10,
+            n_candidates=5000, ts_chunk=1000, tr=TRConfig(),
+        ),
+        note="lunar-style 60-D descent control; measured best 1.63 median vs best-known 0.63",
     ),
 }
 

@@ -44,6 +44,7 @@ def _run(name, max_evals, m_override=None):
         ("hartmann6_lbfgs", 20, -0.5),  # config 2 [B:8]
         ("turbo1_ackley10", 45, 15.0),  # config 4 [B:10]
         ("turbom5_rover60", 36, 400.0),  # config 5 [B:11]
+        ("turbom5_lunar60", 36, 40.0),  # config 5b [B:11 "rover/lunar-style"]; random median ≈17.3
     ],
 )
 def test_config_end_to_end(name, max_evals, threshold):
