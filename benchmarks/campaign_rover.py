@@ -52,6 +52,10 @@ def main():
                     help="override the objective (e.g. lunar60)")
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-evals", type=int, default=None)
+    ap.add_argument("--n-init", type=int, default=None)
+    ap.add_argument("--local-frac", type=float, default=None)
+    ap.add_argument("--y-warp", default=None, choices=["none", "bilog"],
+                    help="GPConfig.y_warp override (heavy-tail lever)")
     ap.add_argument("--fixed-cap", action="store_true",
                     help="full-capacity buffers from iter 0 (chaos probe)")
     ap.add_argument("--cpu", action="store_true")
@@ -77,6 +81,13 @@ def main():
         turbo = dataclasses.replace(turbo, max_evals=args.max_evals)
     if args.batch_size:
         turbo = dataclasses.replace(turbo, batch_size=args.batch_size)
+    if args.n_init:
+        turbo = dataclasses.replace(turbo, n_init=args.n_init)
+    if args.local_frac is not None:
+        turbo = dataclasses.replace(turbo, local_frac=args.local_frac)
+    gp_cfg = cfg.gp
+    if args.y_warp is not None:
+        gp_cfg = dataclasses.replace(gp_cfg, y_warp=args.y_warp)
     b = B.get_benchmark(args.benchmark or cfg.benchmark)
     m = args.m or cfg.m
     n_loc = turbo.n_init + turbo.n_iters * turbo.batch_size if args.fixed_cap else None
@@ -85,7 +96,7 @@ def main():
     for s in range(args.seed_start, args.seed_start + args.seeds):
         t0 = time.perf_counter()
         carries, trace = run_turbom(
-            jax.random.key(s), b.fn, b.lb, b.ub, turbo, cfg.gp, m=m,
+            jax.random.key(s), b.fn, b.lb, b.ub, turbo, gp_cfg, m=m,
             n_loc=n_loc, host_loop=True,
         )
         best = float(np.asarray(carries.best_y).min())
@@ -100,6 +111,9 @@ def main():
         "backend": jax.default_backend(),
         "m": m,
         "batch_size": turbo.batch_size,
+        "n_init": turbo.n_init,
+        "local_frac": turbo.local_frac,
+        "y_warp": gp_cfg.y_warp,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
         "bests": [round(v, 4) for v in bests],
         "median": round(float(np.median(bests)), 4),

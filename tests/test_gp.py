@@ -234,3 +234,29 @@ def test_fit_gp_never_returns_nan_hypers(rng, key):
     state = G.fit_gp(key, x_buf, y_buf, mask, cfg, warm_start=nan_warm)
     for leaf in jax.tree.leaves(state.raw):
         assert np.isfinite(np.asarray(leaf)).all(), "fit_gp returned non-finite hypers"
+
+
+def test_y_warp_bilog_equals_gp_on_warped_targets(rng):
+    """GPConfig.y_warp="bilog" must be EXACTLY a plain GP on w = bilog(y):
+    same fitted state (grid path) and same warped-space posterior. Guards
+    every standardize choke point (fit_gp / _fit_gp_grid / make_gp_state)
+    against double- or missed warping."""
+    x, y, x_buf, y_buf, mask = _problem(rng, n=30)
+    y_heavy = np.sign(y) * (np.abs(y) * 40.0) ** 1.5  # heavy-tailed costs
+    y_buf_h = jnp.zeros_like(y_buf).at[:30].set(jnp.asarray(y_heavy))
+
+    cfg_warp = GPConfig(kernel="matern52", fit_optimizer="grid", y_warp="bilog")
+    cfg_plain = GPConfig(kernel="matern52", fit_optimizer="grid")
+
+    key = jax.random.key(0)
+    st_w = G.fit_gp(key, x_buf, y_buf_h, mask, cfg_warp)
+    st_p = G.fit_gp(key, x_buf, T.warp_y(y_buf_h, "bilog"), mask, cfg_plain)
+
+    xs = jnp.asarray(rng.rand(20, 3))
+    mu_w, var_w = G.gp_posterior(st_w, xs, cfg_warp)
+    mu_p, var_p = G.gp_posterior(st_p, xs, cfg_plain)
+    np.testing.assert_allclose(np.asarray(mu_w), np.asarray(mu_p), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_w), np.asarray(var_p), rtol=1e-6)
+    # warped-space standardization constants match the pre-warped lane
+    np.testing.assert_allclose(float(st_w.y_mean), float(st_p.y_mean), rtol=1e-6)
+    np.testing.assert_allclose(float(st_w.y_std), float(st_p.y_std), rtol=1e-6)

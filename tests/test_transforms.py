@@ -47,3 +47,18 @@ def test_constrain_round_trip():
 def test_inv_softplus():
     y = jnp.asarray([0.1, 1.0, 10.0, 50.0])
     np.testing.assert_allclose(T.softplus(T.inv_softplus(y)), y, rtol=1e-8)
+
+
+def test_warp_y_bilog_properties(rng):
+    """warp_y (GPConfig.y_warp extension): odd, strictly monotone, finite
+    on the imputation-floor scale, identity for 'none', error otherwise."""
+    y = jnp.asarray(np.sort(rng.randn(64) * 50.0))
+    w = np.asarray(T.warp_y(y, "bilog"))
+    assert np.all(np.diff(w) > 0)  # strictly increasing on distinct inputs
+    np.testing.assert_allclose(np.asarray(T.warp_y(-y, "bilog")), -w, rtol=1e-6)
+    assert np.isfinite(np.asarray(T.warp_y(jnp.asarray(1e6), "bilog")))
+    np.testing.assert_allclose(np.asarray(T.warp_y(y, "none")), np.asarray(y))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.warp_y(y, "sqrt")

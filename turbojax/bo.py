@@ -105,7 +105,9 @@ def _state_from_carry(carry: BOCarry, config: GPConfig) -> G.GPState:
     α is an O(n²) cho_solve against the carried factor."""
     mask = L.row_mask(carry.x_buf.shape[0], carry.n)
     params = G.constrain_params(carry.raw, config)
-    y_std_buf = jnp.where(mask, (carry.y_buf - carry.y_mean) / carry.y_std, 0.0)
+    y_std_buf = jnp.where(
+        mask, (T.warp_y(carry.y_buf, config.y_warp) - carry.y_mean) / carry.y_std, 0.0
+    )
     resid = jnp.where(mask, y_std_buf - params["mean"], 0.0)
     alpha = L.cho_solve(carry.chol, resid)
     return G.GPState(
@@ -177,7 +179,9 @@ def _suggest(
     mu, var = G.gp_posterior(state, cands, config)
     if bo.acq == "ei":
         mask = L.row_mask(carry.y_buf.shape[0], carry.n)
-        best = jnp.min(jnp.where(mask, carry.y_buf, jnp.inf))
+        # incumbent must live in the same (possibly warped) space as the
+        # posterior mu/var — warp_y is monotone so min commutes with it
+        best = T.warp_y(jnp.min(jnp.where(mask, carry.y_buf, jnp.inf)), config.y_warp)
         scores = -A.expected_improvement(mu, var, best, bo.xi)  # minimize −EI
     elif bo.acq == "lcb":
         scores = A.lower_confidence_bound(mu, var, bo.kappa)

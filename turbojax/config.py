@@ -60,6 +60,11 @@ class GPConfig:
     fit_lr: float = 0.1
     fit_restarts: int = 4
     learn_mean: bool = False
+    y_warp: str = "none"  # "bilog": model w = sign(y)·log1p(|y|) instead of
+    # y (transforms.warp_y) — a flagged extension beyond the reference for
+    # heavy-tailed objectives; monotone, so all ranking consumers stay
+    # order-consistent. Raw-space TR success logic is unaffected. Dense
+    # lane only (the distributed GP standardizes its own y and ignores it).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -302,7 +302,7 @@ def _fit_gp_grid(
     with ``fit_maxiter_warm or 10`` Adam steps (ARD unlocks here), keeping
     whichever of the two has the better MLL."""
     dim = x_buf.shape[-1]
-    y_std_buf, _, _ = T.standardize(y_buf, mask)
+    y_std_buf, _, _ = T.standardize(T.warp_y(y_buf, config.y_warp), mask)
     inits = grid_params(dim, config, y_buf.dtype)
     mlls = jax.vmap(lambda r: mll(r, x_buf, y_std_buf, mask, config))(inits)
     mlls = jnp.where(jnp.isfinite(mlls), mlls, -jnp.inf)
@@ -349,7 +349,7 @@ def fit_gp(
         config = dataclasses.replace(config, fit_maxiter=config.fit_maxiter_warm)
     dim = x_buf.shape[-1]
     dtype = y_buf.dtype
-    y_std_buf, y_mean, y_sd = T.standardize(y_buf, mask)
+    y_std_buf, y_mean, y_sd = T.standardize(T.warp_y(y_buf, config.y_warp), mask)
 
     base = warm_start if warm_start is not None else default_params(dim, config, dtype)
     # sanitize the warm start: a non-finite carry-over would poison restart
@@ -390,7 +390,11 @@ def make_gp_state(
 ) -> GPState:
     """Factorize once for the fitted hypers and cache (chol, alpha)."""
     params = constrain_params(raw, config)
-    y_std_buf, y_mean, y_sd = T.standardize(y_buf, mask)
+    # y_warp: the GP models w = warp_y(y) (transforms.warp_y docstring);
+    # y_mean/y_std are the WARPED-scale constants, so unstandardized
+    # posteriors live in warped space — order-consistent for all
+    # acquisition ranking (EI incumbent is warped at the same choke point).
+    y_std_buf, y_mean, y_sd = T.standardize(T.warp_y(y_buf, config.y_warp), mask)
     chol = _masked_kernel_chol(params, x_buf, mask, config, ladder=True)
     resid = jnp.where(mask, y_std_buf - params["mean"], jnp.zeros_like(y_std_buf))
     alpha = L.cho_solve(chol, resid)

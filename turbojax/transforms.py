@@ -59,6 +59,25 @@ def standardize(y: Array, mask: Array, eps: float = 1e-8):
     return y_std, mean, std
 
 
+def warp_y(y: Array, kind: str) -> Array:
+    """Monotone output warp applied BEFORE standardization when
+    ``GPConfig.y_warp != "none"`` (a build extension beyond the reference,
+    off by default; SURVEY.md C10 covers only standardization [R]).
+
+    ``"bilog"``: sign(y)·log1p(|y|) — compresses heavy-tailed objective
+    scales (e.g. rover60's obstacle penalties, 10–170×) so the stationary
+    GP is not dominated by the tail. Odd, strictly increasing, finite
+    everywhere (safe on masked/imputed buffers), so every argmin/ranking
+    consumer (EI incumbent, Thompson selection) is order-consistent with
+    the raw objective.
+    """
+    if kind in (None, "none"):
+        return y
+    if kind == "bilog":
+        return jnp.sign(y) * jnp.log1p(jnp.abs(y))
+    raise ValueError(f"unknown y_warp {kind!r} (expected 'none' or 'bilog')")
+
+
 def unstandardize(y_std: Array, mean: Array, std: Array) -> Array:
     return y_std * std + mean
 
