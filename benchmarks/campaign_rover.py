@@ -92,7 +92,7 @@ def main():
     m = args.m or cfg.m
     n_loc = turbo.n_init + turbo.n_iters * turbo.batch_size if args.fixed_cap else None
 
-    bests, walls = [], []
+    bests, walls, restarts = [], [], []
     for s in range(args.seed_start, args.seed_start + args.seeds):
         t0 = time.perf_counter()
         carries, trace = run_turbom(
@@ -101,9 +101,12 @@ def main():
         )
         best = float(np.asarray(carries.best_y).min())
         wall = time.perf_counter() - t0
+        n_restarts = np.asarray(carries.tr.restarts).tolist()  # per-TR
         bests.append(best)
         walls.append(wall)
-        print(json.dumps({"seed": s, "best": round(best, 4), "wall_s": round(wall, 1)}),
+        restarts.append(n_restarts)
+        print(json.dumps({"seed": s, "best": round(best, 4), "wall_s": round(wall, 1),
+                          "tr_restarts": n_restarts}),
               flush=True)
     summary = {
         "variant": args.variant + ("_fixedcap" if args.fixed_cap else ""),
@@ -121,6 +124,7 @@ def main():
         "min": round(float(np.min(bests)), 4),
         "max": round(float(np.max(bests)), 4),
         "wall_per_run_s": round(float(np.mean(walls[1:] or walls)), 1),
+        "tr_restarts": restarts,  # per seed, per TR — init-budget diagnostic
     }
     print(json.dumps(summary))
     if args.out:
