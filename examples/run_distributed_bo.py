@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from turbojax import parallel as PAR
 from turbojax.bo import BOConfig
 from turbojax.bo_distributed import run_bo_distributed
+from turbojax.distributed_linalg import DENSE_BUDGET_BYTES
 from turbojax.config import GPConfig
 
 
@@ -62,7 +63,7 @@ def main():
     )
     res = run_bo_distributed(
         jax.random.key(0), objective, [0.0] * d, [1.0] * d, bo, config, mesh,
-        budget_bytes=1 if args.force_distributed else None or 2 << 30,
+        budget_bytes=1 if args.force_distributed else DENSE_BUDGET_BYTES,
         on_iteration=lambda it, best: print(f"[{it:3d}] best = {best:.5f}"),
     )
     print(f"best y = {float(res.best_y):.5f}  n = {res.y_hist.shape[0]}  "

@@ -76,3 +76,17 @@ def test_distributed_bo_rejects_bad_layout(key):
             key, _quad, [0.0] * 3, [1.0] * 3,
             BOConfig(n_init=16, max_evals=32, batch_size=8, acq="ts"), CFG, mesh,
         )
+
+
+def test_distributed_bo_rejects_y_warp(key):
+    """Code-review regression: the distributed fit lane models raw y, so
+    y_warp must be rejected up front instead of silently disagreeing with
+    the auto-routed dense lane about the model space."""
+    mesh = PAR.make_mesh(8, axis="rows")
+    bo = BOConfig(n_init=16, max_evals=24, batch_size=8, acq="ei",
+                  n_candidates=64)
+    with pytest.raises(ValueError, match="y_warp"):
+        run_bo_distributed(
+            key, _quad, [0.0] * 3, [1.0] * 3,
+            bo, dataclasses.replace(CFG, y_warp="bilog"), mesh,
+        )

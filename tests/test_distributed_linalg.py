@@ -383,3 +383,28 @@ def test_fit_gp_auto_routes_on_threshold(rng):
         mu, var = g.posterior(xs)
         assert np.isfinite(np.asarray(mu)).all() and (np.asarray(var) > 0).all()
         assert np.isfinite(float(g.mll()))
+
+
+def test_fit_gp_auto_dense_adapter_mll_respects_y_warp(rng):
+    """Code-review regression: the dense adapter's .mll() must score the
+    same (warped, standardized) targets the wrapped state was fitted on."""
+    import dataclasses
+
+    from turbojax import gp as G
+    from turbojax import linalg as L
+    from turbojax import transforms as T
+    from turbojax.config import GPConfig
+
+    n, d = 48, 2
+    x = jnp.asarray(rng.rand(n, d))
+    y = jnp.asarray(30.0 * np.abs(np.sin(3 * rng.rand(n))) + 1.0)
+    config = dataclasses.replace(
+        GPConfig(), fit_optimizer="adam", fit_maxiter=3, fit_restarts=1,
+        y_warp="bilog",
+    )
+    g = DL.fit_gp_auto(jax.random.key(0), x, y, config, mesh=None)
+    assert isinstance(g, DL._DenseGPAdapter)
+    mask = L.row_mask(n, jnp.asarray(n))
+    y_std, _, _ = T.standardize(T.warp_y(y, "bilog"), mask)
+    expect = float(G.mll(g.state.raw, x, y_std, mask, config))
+    np.testing.assert_allclose(float(g.mll()), expect, rtol=1e-6)

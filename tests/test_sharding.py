@@ -143,3 +143,58 @@ def test_sharded_fit_runs_and_matches_quality(rng, key, n_dev):
     mll_ref = float(G.mll(state_ref.raw, x_buf, y_std, mask, cfg))
     # same restart inits, same optimizer — identical winner
     np.testing.assert_allclose(mll_sh, mll_ref, rtol=1e-5)
+
+
+def test_sharded_fit_gp_respects_y_warp(rng, key):
+    """Code-review regression: sharded_fit_gp must fit the same (warped,
+    standardized) targets gp.fit_gp does when GPConfig.y_warp is set —
+    same inits + same optimizer → identical fitted state."""
+    n, d, n_max = 40, 2, 48
+    x = rng.rand(n, d)
+    y = 50.0 * np.abs(np.sin(5 * x[:, 0])) + 5.0 * rng.randn(n)  # heavy scale
+    x_buf = jnp.zeros((n_max, d)).at[:n].set(jnp.asarray(x))
+    y_buf = jnp.zeros((n_max,)).at[:n].set(jnp.asarray(y))
+    mask = jnp.arange(n_max) < n
+    cfg = GPConfig(fit_restarts=2, fit_maxiter=15, y_warp="bilog")
+    mesh = PAR.make_mesh(2)
+    state_sh = PAR.sharded_fit_gp(key, x_buf, y_buf, mask, cfg, mesh)
+    state_ref = G.fit_gp(key, x_buf, y_buf, mask, cfg)
+    # y_mean/y_std live in warped space — a raw-space fit shows up here first
+    np.testing.assert_allclose(
+        float(state_sh.y_mean), float(state_ref.y_mean), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state_sh.alpha), np.asarray(state_ref.alpha),
+        rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_turbom_step_imputes_failures(key):
+    """Code-review regression (§5.3 on the sharded path): an all-NaN batch
+    must be imputed with the degenerate 1e6 floor (empty history) and never
+    poison the sharded buffers."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from turbojax.config import GPConfig as GC
+    from turbojax.trust_region import TurboConfig, make_turbo_carry
+
+    n_dev = 4
+    mesh = PAR.make_mesh(n_dev, axis="tr")
+    d, q, n_cand, n_loc = 3, 2, 16, 12
+    cfg = TurboConfig(n_init=4, max_evals=12, batch_size=q, n_candidates=n_cand)
+    config = GC(fit_restarts=2, fit_maxiter=5)
+    keys = jax.random.split(key, n_dev)
+    carries = jax.vmap(lambda k: make_turbo_carry(k, d, n_loc, cfg, config))(keys)
+    carries = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("tr", *([None] * (a.ndim - 1))))),
+        carries,
+    )
+    fn = lambda x: jnp.full(x.shape[:-1], jnp.nan)  # every evaluation fails
+    fail_tol = cfg.tr.resolved_fail_tol(d, q)
+    carries, best = PAR.sharded_turbom_step(
+        carries, jax.random.key(1), fn, jnp.zeros(d), jnp.ones(d), cfg, config,
+        mesh, n_cand, fail_tol,
+    )
+    y = np.asarray(carries.y_buf)
+    n_active = np.asarray(carries.n)
+    for i in range(y.shape[0]):
+        assert np.isfinite(y[i, : int(n_active[i])]).all()
+    assert np.isfinite(float(best)) and float(best) >= T._IMPUTE_FLOOR

@@ -125,7 +125,11 @@ def _state_f64(state: G.GPState, config: GPConfig) -> G.GPState:
     raw64 = jax.tree.map(lambda a: a.astype(f64), state.raw)
     params64 = G.constrain_params(raw64, config)
     chol64 = G._masked_kernel_chol(params64, x64, state.mask, config)
-    resid = state.chol @ (state.chol.T @ state.alpha)
+    resid = jnp.matmul(
+        state.chol,
+        jnp.matmul(state.chol.T, state.alpha, precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # factorization path: never a plain @ (docs/DESIGN.md §2b)
     resid64 = jnp.where(state.mask, resid.astype(f64), 0.0)
     alpha64 = L.cho_solve(chol64, resid64)
     return G.GPState(
@@ -296,7 +300,11 @@ def rff_paths(
     a_mat = jnp.matmul(phi_x.T, phi_x, precision=jax.lax.Precision.HIGHEST) / noise + jnp.eye(n_features, dtype=xs.dtype)
     chol_a = jnp.linalg.cholesky(a_mat)
     # recover the standardized residual from the cached solve: r = L Lᵀ α
-    resid = state.chol @ (state.chol.T @ state.alpha)
+    resid = jnp.matmul(
+        state.chol,
+        jnp.matmul(state.chol.T, state.alpha, precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # factorization path: never a plain @ (docs/DESIGN.md §2b)
     resid = jnp.where(state.mask, resid, 0.0)
     mean_w = L.cho_solve(chol_a, phi_x.T @ resid / noise)
     z = jax.random.normal(kw, (n_paths, n_features), xs.dtype)

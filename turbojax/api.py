@@ -421,16 +421,23 @@ class Optimizer:
         # batch-only fallback here fabricated the retracted round-1 rover
         # incumbent (BASELINE.md "RETRACTION") — an all-failed early batch
         # must never produce a penalty small enough to rank as the best.
-        finite = np.isfinite(y)
-        if not finite.all():
-            hist = (
-                np.concatenate(self._history_y)
-                if self._history_y
-                else np.zeros((0,), np.float32)
+        if not np.isfinite(y).all():
+            # call the jitted loops' source of truth rather than mirroring
+            # its formula in numpy (drift here is the retracted-bug class)
+            if self._history_y:
+                hist = np.concatenate(self._history_y)
+                hist_mask = np.isfinite(hist)
+            else:
+                # masked-out dummy row: an empty scope must fall through to
+                # the 1e6 degenerate floor (BASELINE.md "RETRACTION")
+                hist = np.zeros((1,), np.float32)
+                hist_mask = np.zeros((1,), bool)
+            y = np.asarray(
+                T.impute_failures(
+                    jnp.asarray(y), jnp.asarray(hist), jnp.asarray(hist_mask)
+                ),
+                np.float32,
             )
-            ref = np.concatenate([hist[np.isfinite(hist)], y[finite]])
-            worst = float(np.max(ref)) if ref.size else float(T._IMPUTE_FLOOR)
-            y = np.where(finite, y, worst + 3.0 * (abs(worst) + 1.0)).astype(np.float32)
         x_unit = np.asarray(T.to_unit_cube(x, self.lb, self.ub), np.float32)
         # capacity guard: a clamped dynamic_update_slice would silently
         # overwrite the last buffer row past max_evals

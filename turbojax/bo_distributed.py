@@ -79,6 +79,13 @@ def run_bo_distributed(
             "need the dense candidate covariance the distributed posterior "
             "deliberately avoids)"
         )
+    if config.y_warp not in (None, "none"):
+        raise ValueError(
+            "run_bo_distributed does not support GPConfig.y_warp: the "
+            "distributed fit lane models raw y (see config.py), so the "
+            "auto-routed dense/distributed surrogates would disagree about "
+            "the model space and the EI incumbent"
+        )
     n_dev = mesh.devices.size if mesh is not None else 1
     if bo.n_init % n_dev or bo.batch_size % n_dev:
         raise ValueError(

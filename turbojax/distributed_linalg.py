@@ -731,5 +731,7 @@ def fit_gp_auto(
         return fit_distributed_gp(x, y, mesh, config, panel, warm_start=warm_start)
     mask = L.row_mask(n, jnp.asarray(n))
     state = G.fit_gp(key, x, y, mask, config, warm_start=warm_start)
-    y_std_buf, _, _ = T.standardize(y, mask)
+    # the dense state models warped targets when config.y_warp is set, so
+    # .mll() must score the same (warped, standardized) targets
+    y_std_buf, _, _ = T.standardize(T.warp_y(y, config.y_warp), mask)
     return _DenseGPAdapter(state, config, y_std_buf)

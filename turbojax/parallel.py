@@ -189,7 +189,9 @@ def sharded_fit_gp(
 
     from turbojax import transforms as T
 
-    y_std_buf, y_mean, y_sd = T.standardize(y_buf, mask)
+    # the GP models warped targets when config.y_warp is set — must match
+    # gp.fit_gp/make_gp_state (which cache the posterior in warped space)
+    y_std_buf, y_mean, y_sd = T.standardize(T.warp_y(y_buf, config.y_warp), mask)
     base = warm_start if warm_start is not None else G.default_params(dim, config, dtype)
     n_rand = r - 1
     if n_rand:
@@ -272,6 +274,18 @@ def sharded_turbom_step(
         tr_idx, cand_idx = global_allocate(values)
         x_sel = cands[tr_idx, cand_idx]
         y_sel = fn(from_unit_cube(x_sel, lb, ub)).astype(x_sel.dtype)
+
+        # §5.3: impute NaN/inf objective values against the GLOBAL history
+        # (all-gathered so the penalty scope matches the unsharded driver,
+        # turbo_m.py turbom_absorb_batch, at any mesh size)
+        from turbojax import transforms as T
+
+        y_all = lax.all_gather(carries_loc.y_buf, axis, tiled=True)  # (m, N_loc)
+        n_all = lax.all_gather(carries_loc.n, axis, tiled=True)  # (m,)
+        hist_mask = (
+            jnp.arange(y_all.shape[1])[None, :] < n_all[:, None]
+        ).reshape(-1)
+        y_sel = T.impute_failures(y_sel, y_all.reshape(-1), hist_mask)
 
         local_ids = dev * m_loc + jnp.arange(m_loc)
         accept = tr_idx[None, :] == local_ids[:, None]  # (m_loc, q)
