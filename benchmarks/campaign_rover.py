@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-evals", type=int, default=None)
     ap.add_argument("--n-init", type=int, default=None)
+    ap.add_argument("--n-cand", type=int, default=None,
+                    help="TR candidate-set size (default min(100d, 5000) [R])")
     ap.add_argument("--local-frac", type=float, default=None)
     ap.add_argument("--y-warp", default=None, choices=["none", "bilog"],
                     help="GPConfig.y_warp override (heavy-tail lever)")
@@ -83,6 +85,8 @@ def main():
         turbo = dataclasses.replace(turbo, batch_size=args.batch_size)
     if args.n_init:
         turbo = dataclasses.replace(turbo, n_init=args.n_init)
+    if args.n_cand:
+        turbo = dataclasses.replace(turbo, n_candidates=args.n_cand)
     if args.local_frac is not None:
         turbo = dataclasses.replace(turbo, local_frac=args.local_frac)
     gp_cfg = cfg.gp
@@ -115,6 +119,7 @@ def main():
         "m": m,
         "batch_size": turbo.batch_size,
         "n_init": turbo.n_init,
+        "n_candidates": turbo.n_candidates,  # None = min(100d, 5000)
         "local_frac": turbo.local_frac,
         "y_warp": gp_cfg.y_warp,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
