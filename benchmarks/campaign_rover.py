@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--local-frac", type=float, default=None)
     ap.add_argument("--y-warp", default=None, choices=["none", "bilog"],
                     help="GPConfig.y_warp override (heavy-tail lever)")
+    ap.add_argument("--polish-steps", type=int, default=None,
+                    help="GPConfig.fit_maxiter_warm override: Adam polish "
+                         "depth for the grid+adam ARD trainer (default 10)")
     ap.add_argument("--fixed-cap", action="store_true",
                     help="full-capacity buffers from iter 0 (chaos probe)")
     ap.add_argument("--cpu", action="store_true")
@@ -92,6 +95,8 @@ def main():
     gp_cfg = cfg.gp
     if args.y_warp is not None:
         gp_cfg = dataclasses.replace(gp_cfg, y_warp=args.y_warp)
+    if args.polish_steps is not None:
+        gp_cfg = dataclasses.replace(gp_cfg, fit_maxiter_warm=args.polish_steps)
     b = B.get_benchmark(args.benchmark or cfg.benchmark)
     m = args.m or cfg.m
     n_loc = turbo.n_init + turbo.n_iters * turbo.batch_size if args.fixed_cap else None
@@ -122,6 +127,7 @@ def main():
         "n_candidates": turbo.n_candidates,  # None = min(100d, 5000)
         "local_frac": turbo.local_frac,
         "y_warp": gp_cfg.y_warp,
+        "fit_maxiter_warm": gp_cfg.fit_maxiter_warm,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
         "bests": [round(v, 4) for v in bests],
         "median": round(float(np.median(bests)), 4),
