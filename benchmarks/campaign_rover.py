@@ -60,7 +60,8 @@ def main():
                     help="GPConfig.y_warp override (heavy-tail lever)")
     ap.add_argument("--polish-steps", type=int, default=None,
                     help="GPConfig.fit_maxiter_warm override: Adam polish "
-                         "depth for the grid+adam ARD trainer (default 10)")
+                         "depth for the grid+adam ARD trainer (config-5 "
+                         "registry default applies when unset)")
     ap.add_argument("--fixed-cap", action="store_true",
                     help="full-capacity buffers from iter 0 (chaos probe)")
     ap.add_argument("--cpu", action="store_true")

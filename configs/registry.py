@@ -97,12 +97,14 @@ CONFIGS = {
         m=5,
         gp=GPConfig(
             kernel="matern52", fit_restarts=2, fit_optimizer="grid+adam",
-            fit_maxiter=50, fit_maxiter_warm=25, fit_lr=0.1,
+            fit_maxiter=50, fit_maxiter_warm=40, fit_lr=0.1,
         ),  # "grid+adam" = isotropic grid argmax + ARD Adam polish: restores
         # the lengthscale-driven TR geometry w = l/mean(l) at d=60. Measured
         # (round 3, 10 paired seeds, full 2000-eval budget, TPU): rover
-        # median 16.9 (isotropic grid) -> 11.17, 7/10 seed wins, ~1.6x wall
-        # (BASELINE.md "Round-3 rover campaign")
+        # median 16.9 (isotropic grid) -> 11.17 (polish 25, 7/10 seed wins,
+        # ~1.6x wall) -> 9.75 (polish 40, 6/10 wins vs polish 25, no wall
+        # cost; rescues the catastrophic seeds — BASELINE.md round-3
+        # polish-depth sweep)
         turbo=TurboConfig(
             n_init=40, max_evals=2000, batch_size=10,
             n_candidates=5000, ts_chunk=1000, tr=TRConfig(),
