@@ -62,6 +62,13 @@ def main():
                     help="GPConfig.fit_maxiter_warm override: Adam polish "
                          "depth for the grid+adam ARD trainer (config-5 "
                          "registry default applies when unset)")
+    ap.add_argument("--fail-tol", type=int, default=None,
+                    help="TRConfig.fail_tol override: consecutive failed "
+                         "batches before the TR halves (default "
+                         "ceil(max(4,d)/q) = 6 at d=60, q=10 [R])")
+    ap.add_argument("--succ-tol", type=int, default=None,
+                    help="TRConfig.succ_tol override: consecutive improved "
+                         "batches before the TR doubles (default 3 [R])")
     ap.add_argument("--fixed-cap", action="store_true",
                     help="full-capacity buffers from iter 0 (chaos probe)")
     ap.add_argument("--cpu", action="store_true")
@@ -93,6 +100,13 @@ def main():
         turbo = dataclasses.replace(turbo, n_candidates=args.n_cand)
     if args.local_frac is not None:
         turbo = dataclasses.replace(turbo, local_frac=args.local_frac)
+    if args.fail_tol is not None or args.succ_tol is not None:
+        tr = turbo.tr
+        if args.fail_tol is not None:
+            tr = dataclasses.replace(tr, fail_tol=args.fail_tol)
+        if args.succ_tol is not None:
+            tr = dataclasses.replace(tr, succ_tol=args.succ_tol)
+        turbo = dataclasses.replace(turbo, tr=tr)
     gp_cfg = cfg.gp
     if args.y_warp is not None:
         gp_cfg = dataclasses.replace(gp_cfg, y_warp=args.y_warp)
@@ -127,6 +141,8 @@ def main():
         "n_init": turbo.n_init,
         "n_candidates": turbo.n_candidates,  # None = min(100d, 5000)
         "local_frac": turbo.local_frac,
+        "fail_tol": turbo.tr.fail_tol,  # None = ceil(max(4,d)/q)
+        "succ_tol": turbo.tr.succ_tol,
         "y_warp": gp_cfg.y_warp,
         "fit_maxiter_warm": gp_cfg.fit_maxiter_warm,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
