@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--local-frac", type=float, default=None)
     ap.add_argument("--y-warp", default=None, choices=["none", "bilog"],
                     help="GPConfig.y_warp override (heavy-tail lever)")
+    ap.add_argument("--grid-warm", default=None, choices=["on", "off"],
+                    help="GPConfig.grid_warm_start override: chain the ARD "
+                         "polish across refits (warm row in the grid) vs "
+                         "re-polish from the isotropic grid argmax each refit")
     ap.add_argument("--polish-steps", type=int, default=None,
                     help="GPConfig.fit_maxiter_warm override: Adam polish "
                          "depth for the grid+adam ARD trainer (config-5 "
@@ -112,6 +116,8 @@ def main():
         gp_cfg = dataclasses.replace(gp_cfg, y_warp=args.y_warp)
     if args.polish_steps is not None:
         gp_cfg = dataclasses.replace(gp_cfg, fit_maxiter_warm=args.polish_steps)
+    if args.grid_warm is not None:
+        gp_cfg = dataclasses.replace(gp_cfg, grid_warm_start=args.grid_warm == "on")
     b = B.get_benchmark(args.benchmark or cfg.benchmark)
     m = args.m or cfg.m
     n_loc = turbo.n_init + turbo.n_iters * turbo.batch_size if args.fixed_cap else None
@@ -145,6 +151,7 @@ def main():
         "succ_tol": turbo.tr.succ_tol,
         "y_warp": gp_cfg.y_warp,
         "fit_maxiter_warm": gp_cfg.fit_maxiter_warm,
+        "grid_warm_start": gp_cfg.grid_warm_start,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
         "bests": [round(v, 4) for v in bests],
         "median": round(float(np.median(bests)), 4),

@@ -260,3 +260,35 @@ def test_y_warp_bilog_equals_gp_on_warped_targets(rng):
     # warped-space standardization constants match the pre-warped lane
     np.testing.assert_allclose(float(st_w.y_mean), float(st_p.y_mean), rtol=1e-6)
     np.testing.assert_allclose(float(st_w.y_std), float(st_p.y_std), rtol=1e-6)
+
+
+def test_grid_warm_start_chains_and_stays_safe(rng, key):
+    """grid+adam warm chaining (GPConfig.grid_warm_start): the previous
+    polished hypers enter the grid as an extra row, so a second fit on the
+    same data can only match or improve the selected MLL; a NaN warm start
+    must not poison the fit; and the plain "grid" trainer must ignore the
+    warm start entirely (config-4 parity trajectories unchanged)."""
+    x, y, x_buf, y_buf, mask = _problem(rng, n=40, d=3, n_max=48)
+    cfg = GPConfig(kernel="matern52", fit_optimizer="grid+adam", fit_maxiter_warm=10)
+
+    s1 = G.fit_gp(key, x_buf, y_buf, mask, cfg)
+    s2 = G.fit_gp(key, x_buf, y_buf, mask, cfg, warm_start=s1.raw)
+    y_std, _, _ = T.standardize(y_buf, mask)
+    m1 = float(G.mll(s1.raw, x_buf, y_std, mask, cfg))
+    m2 = float(G.mll(s2.raw, x_buf, y_std, mask, cfg))
+    assert m2 >= m1 - 1e-5, f"warm chain lost MLL: {m1} -> {m2}"
+    for leaf in jax.tree.leaves(s2.raw):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    nan_warm = jax.tree.map(lambda a: jnp.full_like(a, jnp.nan), s1.raw)
+    s3 = G.fit_gp(key, x_buf, y_buf, mask, cfg, warm_start=nan_warm)
+    for leaf in jax.tree.leaves(s3.raw):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    import dataclasses
+
+    cfg_g = dataclasses.replace(cfg, fit_optimizer="grid")
+    g1 = G.fit_gp(key, x_buf, y_buf, mask, cfg_g)
+    g2 = G.fit_gp(key, x_buf, y_buf, mask, cfg_g, warm_start=s1.raw)
+    for a, b in zip(jax.tree.leaves(g1.raw), jax.tree.leaves(g2.raw)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -59,6 +59,13 @@ class GPConfig:
     # dominates fit wall-clock on TPU (measured: 18 s → ~6 s at N=2000)
     fit_lr: float = 0.1
     fit_restarts: int = 4
+    grid_warm_start: bool = True  # "grid+adam" only: enter the previous
+    # iteration's polished hypers as an extra grid row and polish from the
+    # overall MLL argmax. Chains the ARD refinement across refits (40 Adam
+    # steps from an isotropic grid point is a very short ARD run at d=60;
+    # the chain is effectively a long one) — measured on rover60, see
+    # BASELINE.md round-3 "warm-start ARD" campaign. The plain "grid"
+    # trainer ignores this (config-4 parity trajectories unchanged).
     learn_mean: bool = False
     y_warp: str = "none"  # "bilog": model w = sign(y)·log1p(|y|) instead of
     # y (transforms.warp_y) — a flagged extension beyond the reference for

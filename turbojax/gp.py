@@ -289,7 +289,8 @@ def grid_params(dim: int, config: GPConfig, dtype=jnp.float32) -> GPParams:
 
 
 def _fit_gp_grid(
-    x_buf: Array, y_buf: Array, mask: Array, config: GPConfig, adam_polish: bool = False
+    x_buf: Array, y_buf: Array, mask: Array, config: GPConfig, adam_polish: bool = False,
+    warm_start: Optional[GPParams] = None,
 ) -> GPState:
     """Grid MLL selection (``fit_optimizer="grid"``): evaluate the masked
     MLL at every grid combo in one vmap (15 parallel Cholesky factorizations
@@ -300,10 +301,28 @@ def _fit_gp_grid(
 
     ``adam_polish`` (``fit_optimizer="grid+adam"``): refine the grid argmax
     with ``fit_maxiter_warm or 10`` Adam steps (ARD unlocks here), keeping
-    whichever of the two has the better MLL."""
+    whichever of the two has the better MLL.
+
+    ``warm_start`` (``grid_warm_start``, polish path only): the previous
+    refit's polished hypers join the grid as one extra row, so the ARD
+    refinement CHAINS across the outer loop instead of restarting from an
+    isotropic point every iteration — the argmax picks whichever of
+    {grid ∪ warm} explains the grown data best, and the polish continues
+    from there. One extra vmapped MLL row; no extra factorization passes."""
     dim = x_buf.shape[-1]
     y_std_buf, _, _ = T.standardize(T.warp_y(y_buf, config.y_warp), mask)
     inits = grid_params(dim, config, y_buf.dtype)
+    if adam_polish and config.grid_warm_start and warm_start is not None:
+        # sanitize like fit_gp's restart-0 warm start: a non-finite carry-over
+        # must never become the polish seed (or the all-rows-NaN fallback)
+        defaults = default_params(dim, config, y_buf.dtype)
+        warm_ok = jnp.all(
+            jnp.stack([jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(warm_start)])
+        )
+        warm = jax.tree.map(
+            lambda w, d0: jnp.where(warm_ok, w, d0), warm_start, defaults
+        )
+        inits = jax.tree.map(lambda g, w: jnp.concatenate([g, w[None]], axis=0), inits, warm)
     mlls = jax.vmap(lambda r: mll(r, x_buf, y_std_buf, mask, config))(inits)
     mlls = jnp.where(jnp.isfinite(mlls), mlls, -jnp.inf)
     best = jnp.argmax(mlls)
@@ -341,7 +360,8 @@ def fit_gp(
     """
     if config.fit_optimizer in ("grid", "grid+adam"):
         return _fit_gp_grid(
-            x_buf, y_buf, mask, config, adam_polish=config.fit_optimizer == "grid+adam"
+            x_buf, y_buf, mask, config,
+            adam_polish=config.fit_optimizer == "grid+adam", warm_start=warm_start,
         )
     if warm_start is not None and config.fit_maxiter_warm:
         import dataclasses
