@@ -223,9 +223,15 @@ class _AOTLadder:
         self._m = m
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._futs = {}
+        # Only "scan" programs are precompiled: the host driver aligns its
+        # dispatch grid to the chunk (grow-early + divisor chunk), so "step"
+        # programs are needed only off-grid (resume at an unaligned
+        # iteration, chunk-indivisible budgets) and compile lazily in get().
+        # This halves cold-start program loads — the final-bucket
+        # executables are ~50 MB each and load slowly through the axon
+        # tunnel (measured 145 s vs 1.8 s for a 32 MB entry).
         for cap in caps:
-            for kind in ("step", "scan"):
-                self._futs[(cap, kind)] = self._pool.submit(self._compile, cap, kind)
+            self._futs[(cap, "scan")] = self._pool.submit(self._compile, cap, "scan")
 
     def _grow_spec(self, cap: int):
         spec = self._spec0
@@ -305,29 +311,46 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
     if carries is None:
         carries = jax.jit(mk)(keys0)
     spec0 = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), carries)
+    # Align the dispatch grid to the budget: pick the largest chunk ≤
+    # scan_chunk that divides n_iters, so the whole run is whole-chunk
+    # "scan" dispatches and the per-bucket "step" program (a second ~50 MB
+    # executable per bucket at large caps, slow to load through the axon
+    # tunnel) is never compiled. Falls back to lazy step compiles when no
+    # divisor exists (prime budgets) or on unaligned resume.
+    chunk = scan_chunk
+    if scan_chunk > 1:
+        for c in range(min(scan_chunk, cfg.n_iters), 1, -1):
+            if cfg.n_iters % c == 0:
+                chunk = c
+                break
     ladder = _AOTLadder(
         _make_step(fn, lb, ub, cfg, config, m), spec0, m,
-        _bucket_ladder(cap, n_final), scan_chunk,
+        _bucket_ladder(cap, n_final), chunk,
     )
 
     it = len(trace)
     try:
         while it < cfg.n_iters:
             n_max_now = int(jnp.max(carries.n))
-            if n_max_now + q > cap and cap < n_final:
-                cap = min(max(cap * 2, n_max_now + q), n_final)
+            # grow EARLY: make room for a full chunk before dispatching, so
+            # every dispatch in a bucket is the "scan" program. Growth timing
+            # is numerically free — masked padding is exactly equivalent
+            # (chaos probe: bucketed vs fixed-cap identical per seed).
+            if cap < n_final and (cap - n_max_now) // q < chunk:
+                cap = min(max(cap * 2, n_max_now + chunk * q), n_final)
                 carries = _grow_carries(carries, cap)
                 n_max_now = int(jnp.max(carries.n))
             # iterations guaranteed to fit in this bucket (each adds ≤ q per TR)
             k_fit = (cap - n_max_now) // q if cap < n_final else cfg.n_iters - it
-            if scan_chunk > 1 and min(k_fit, cfg.n_iters - it) >= scan_chunk:
+            aligned = (cfg.n_iters - it) % chunk == 0
+            if chunk > 1 and aligned and min(k_fit, cfg.n_iters - it) >= chunk:
                 carries, bests = ladder.get(cap, "scan")(carries)
                 bests = np.asarray(jax.device_get(bests))
                 for j, b in enumerate(bests):
                     if on_iteration is not None:
                         on_iteration(it + j, float(b))
                     trace.append(b)
-                it += scan_chunk
+                it += chunk
             else:
                 carries, best = ladder.get(cap, "step")(carries)
                 trace.append(best)
