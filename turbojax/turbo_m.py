@@ -223,15 +223,29 @@ class _AOTLadder:
         self._m = m
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._futs = {}
-        # Only "scan" programs are precompiled: the host driver aligns its
-        # dispatch grid to the chunk (grow-early + divisor chunk), so "step"
-        # programs are needed only off-grid (resume at an unaligned
-        # iteration, chunk-indivisible budgets) and compile lazily in get().
-        # This halves cold-start program loads — the final-bucket
-        # executables are ~50 MB each and load slowly through the axon
-        # tunnel (measured 145 s vs 1.8 s for a 32 MB entry).
-        for cap in caps:
-            self._futs[(cap, "scan")] = self._pool.submit(self._compile, cap, "scan")
+        self._caps = list(caps)
+        # Only "scan" programs are prefetched, ONE BUCKET AHEAD: the driver
+        # aligns its dispatch grid to the chunk (grow-early + divisor chunk),
+        # so "step" programs are needed only off-grid (unaligned resume,
+        # chunk-indivisible budgets) and compile lazily in get(). Buckets a
+        # run never reaches never compile — growth follows max per-TR n, so
+        # the final cap (one TR eats the whole budget) is rarely touched,
+        # and its ~50 MB executable costs ~150 s to load through the axon
+        # tunnel even on a persistent-cache hit (docs/DESIGN.md §4b).
+        if self._caps:
+            self._futs[(self._caps[0], "scan")] = self._pool.submit(
+                self._compile, self._caps[0], "scan"
+            )
+            self._prefetch_after(self._caps[0])
+
+    def _prefetch_after(self, cap: int):
+        """Queue the next ladder bucket's scan program (one-ahead)."""
+        try:
+            nxt = self._caps[self._caps.index(cap) + 1]
+        except (ValueError, IndexError):
+            return
+        if (nxt, "scan") not in self._futs:
+            self._futs[(nxt, "scan")] = self._pool.submit(self._compile, nxt, "scan")
 
     def _grow_spec(self, cap: int):
         spec = self._spec0
@@ -250,9 +264,11 @@ class _AOTLadder:
 
     def get(self, cap: int, kind: str):
         fut = self._futs.get((cap, kind))
-        if fut is None:  # off-ladder capacity (custom n_loc): compile now
+        if fut is None:  # off-ladder capacity / lazy "step": compile now
             fut = self._pool.submit(self._compile, cap, kind)
             self._futs[(cap, kind)] = fut
+        if kind == "scan":
+            self._prefetch_after(cap)  # overlap the next bucket's compile
         return fut.result()
 
     def close(self):
