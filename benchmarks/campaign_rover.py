@@ -136,7 +136,9 @@ def main():
         walls.append(wall)
         restarts.append(n_restarts)
         print(json.dumps({"seed": s, "best": round(best, 4), "wall_s": round(wall, 1),
-                          "tr_restarts": n_restarts}),
+                          "tr_restarts": n_restarts,
+                          "final_cap": int(carries.x_buf.shape[1]),
+                          "tr_n": np.asarray(carries.n).tolist()}),
               flush=True)
     summary = {
         "variant": args.variant + ("_fixedcap" if args.fixed_cap else ""),
