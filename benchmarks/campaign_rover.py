@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--local-frac", type=float, default=None)
     ap.add_argument("--y-warp", default=None, choices=["none", "bilog"],
                     help="GPConfig.y_warp override (heavy-tail lever)")
+    ap.add_argument("--alloc-cap", type=int, default=None,
+                    help="TurboConfig.alloc_cap override: per-TR slot cap "
+                         "per batch in the global TS allocation (None = "
+                         "reference-parity unconstrained argmin)")
     ap.add_argument("--grid-warm", default=None, choices=["on", "off"],
                     help="GPConfig.grid_warm_start override: chain the ARD "
                          "polish across refits (warm row in the grid) vs "
@@ -104,6 +108,8 @@ def main():
         turbo = dataclasses.replace(turbo, n_candidates=args.n_cand)
     if args.local_frac is not None:
         turbo = dataclasses.replace(turbo, local_frac=args.local_frac)
+    if args.alloc_cap is not None:
+        turbo = dataclasses.replace(turbo, alloc_cap=args.alloc_cap)
     if args.fail_tol is not None or args.succ_tol is not None:
         tr = turbo.tr
         if args.fail_tol is not None:
@@ -154,6 +160,7 @@ def main():
         "y_warp": gp_cfg.y_warp,
         "fit_maxiter_warm": gp_cfg.fit_maxiter_warm,
         "grid_warm_start": gp_cfg.grid_warm_start,
+        "alloc_cap": turbo.alloc_cap,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
         "bests": [round(v, 4) for v in bests],
         "median": round(float(np.median(bests)), 4),

@@ -125,3 +125,28 @@ def test_turbom_eval_accounting(ackley_turbom):
     cfg_iters = (56 - 8 + 3) // 4
     total = int(np.asarray(carries.n).sum())
     assert total == cfg_iters * 4  # every evaluated point landed in exactly one TR
+
+
+def test_global_allocate_cap_spreads_batch(key):
+    """alloc_cap: no TR may take more than cap slots of one batch, the
+    allocation is still without-replacement, and cap=None reproduces the
+    reference-parity unconstrained argmin."""
+    m, q, n_cand = 3, 6, 8
+    # TR 0 dominates every draw row -> uncapped allocation gives it all 6
+    vals = jax.random.uniform(key, (m, q, n_cand)) + jnp.array([0.0, 10.0, 10.0])[:, None, None]
+    tr_idx, cand_idx = global_allocate(vals)
+    assert int(jnp.sum(tr_idx == 0)) == q  # winner-takes-all baseline
+
+    tr_idx_c, cand_idx_c = global_allocate(vals, cap=2)
+    counts = np.bincount(np.asarray(tr_idx_c), minlength=m)
+    assert counts.max() <= 2 and counts.sum() == q
+    # still without replacement across (tr, cand) pairs
+    pairs = set(zip(np.asarray(tr_idx_c).tolist(), np.asarray(cand_idx_c).tolist()))
+    assert len(pairs) == q
+    # within each TR, its best candidates were taken in draw-row order
+    # (cap only blocks, never reorders): TR 0's picks are finite-valued
+    for t, c in pairs:
+        assert np.isfinite(float(vals[t, 0, c]))
+
+    with pytest.raises(ValueError):
+        global_allocate(vals, cap=1)  # 1 * 3 < q=6: cannot cover the batch

@@ -271,7 +271,7 @@ def sharded_turbom_step(
 
         values = lax.all_gather(values_loc, axis, tiled=True)  # (m, q, n_cand)
         cands = lax.all_gather(cands_loc, axis, tiled=True)  # (m, n_cand, d)
-        tr_idx, cand_idx = global_allocate(values)
+        tr_idx, cand_idx = global_allocate(values, cfg.alloc_cap)
         x_sel = cands[tr_idx, cand_idx]
         y_sel = fn(from_unit_cube(x_sel, lb, ub)).astype(x_sel.dtype)
 

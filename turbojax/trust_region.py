@@ -58,6 +58,12 @@ class TurboConfig:
     # refinement (f64 covariance+factor+draws; needs jax_enable_x64) —
     # see acq.thompson_samples and benchmarks/exp_ts_numerics.py
     rff_features: int = 1024
+    alloc_cap: Optional[int] = None  # TuRBO-m only: per-TR slot cap per
+    # batch in the global Thompson allocation (turbo_m.global_allocate).
+    # None = reference-parity unconstrained argmin (measured winner-takes-
+    # most on rover: one TR absorbs ~1750/2000 evals); cap=k bounds every
+    # TR history at n_init + n_iters·k, which also bounds the bucket
+    # ladder (fit cost, executable size)
     tr: TRConfig = TRConfig()
 
     @property

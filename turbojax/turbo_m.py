@@ -93,28 +93,47 @@ def _tr_proposals_and_values(
     return lax.cond(in_search, search_branch, init_branch, carry)
 
 
-def global_allocate(ts_values: Array) -> Tuple[Array, Array]:
+def global_allocate(ts_values: Array, cap: Optional[int] = None) -> Tuple[Array, Array]:
     """Global q-batch argmin-without-replacement across all TRs [R, B:11].
 
     Args:
       ts_values: (m, q, n_cand) per-TR Thompson draws.
+      cap: optional per-TR slot cap per batch (``TurboConfig.alloc_cap``,
+        beyond-reference lever): once a TR holds ``cap`` of this batch's
+        slots its remaining candidates are excluded, forcing the allocation
+        to spread. Motivation (BASELINE.md round-3 allocation diagnostic):
+        the pure global argmin is winner-takes-most on rover — one TR
+        absorbs ~1750 of 2000 evaluations — which drives the per-TR history
+        (and the O(n³) refit) toward the full budget while the other TRs
+        idle. ``cap=k`` bounds every TR's history at n_init + n_iters·k.
+        None (default) = reference-parity unconstrained argmin.
 
     Returns (tr_idx (q,), cand_idx (q,)): slot j takes the global minimum of
     draw row j over all (TR, candidate) pairs not yet chosen.
     """
     m, q, n_cand = ts_values.shape
+    if cap is not None and cap * m < q:
+        raise ValueError(f"alloc_cap ({cap}) × m ({m}) must cover the batch (q={q})")
     flat = jnp.swapaxes(ts_values, 0, 1).reshape(q, m * n_cand)
     big = jnp.asarray(jnp.finfo(flat.dtype).max, flat.dtype)
+    tr_of = jnp.arange(m * n_cand) // n_cand
 
-    def step(taken, row):
+    def step(carry, row):
+        taken, counts = carry
         # NaN-proof like acq.select_q_batch: a degenerate TR's draws must
         # never win the allocation (the +inf init-phase placeholders are
         # equally excluded here — argmin never picked them anyway)
-        masked = jnp.where(taken | ~jnp.isfinite(row), big, row)
+        blocked = taken | ~jnp.isfinite(row)
+        if cap is not None:
+            blocked = blocked | (counts >= cap)[tr_of]
+        masked = jnp.where(blocked, big, row)
         idx = jnp.argmin(masked)
-        return taken.at[idx].set(True), idx
+        counts = counts.at[idx // n_cand].add(1)
+        return (taken.at[idx].set(True), counts), idx
 
-    _, flat_idx = lax.scan(step, jnp.zeros((m * n_cand,), jnp.bool_), flat)
+    (_, _), flat_idx = lax.scan(
+        step, (jnp.zeros((m * n_cand,), jnp.bool_), jnp.zeros((m,), jnp.int32)), flat
+    )
     return flat_idx // n_cand, flat_idx % n_cand
 
 
@@ -174,7 +193,9 @@ def _run_turbom_scan(
     n_loc: Optional[int] = None,
 ):
     dim = len(lb)
-    n_loc = n_loc or cfg.n_init + cfg.n_iters * cfg.batch_size
+    # per-TR growth per iteration is bounded by alloc_cap when set
+    step_max = min(cfg.batch_size, cfg.alloc_cap or cfg.batch_size)
+    n_loc = n_loc or cfg.n_init + cfg.n_iters * step_max
     keys0 = jax.random.split(key, m)
     carries0 = jax.vmap(lambda k: make_turbo_carry(k, dim, n_loc, cfg, config))(keys0)
     step = _make_step(fn, lb, ub, cfg, config, m)
@@ -304,7 +325,10 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
 
     dim = len(lb)
     q = cfg.batch_size
-    n_final = n_loc or cfg.n_init + cfg.n_iters * q
+    # per-TR growth per iteration is bounded by alloc_cap when set — it
+    # bounds both the final buffer and the bucket ladder (fit cost)
+    step_max = min(q, cfg.alloc_cap or q)
+    n_final = n_loc or cfg.n_init + cfg.n_iters * step_max
     # Start the bucket ladder at 512 (not the minimal power of 2): each
     # bucket costs TWO program builds (step + scan) whose trace/lower work
     # runs on the host — measured comparable to the whole run's compute on
@@ -352,12 +376,13 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
             # every dispatch in a bucket is the "scan" program. Growth timing
             # is numerically free — masked padding is exactly equivalent
             # (chaos probe: bucketed vs fixed-cap identical per seed).
-            if cap < n_final and (cap - n_max_now) // q < chunk:
-                cap = min(max(cap * 2, n_max_now + chunk * q), n_final)
+            if cap < n_final and (cap - n_max_now) // step_max < chunk:
+                cap = min(max(cap * 2, n_max_now + chunk * step_max), n_final)
                 carries = _grow_carries(carries, cap)
                 n_max_now = int(jnp.max(carries.n))
-            # iterations guaranteed to fit in this bucket (each adds ≤ q per TR)
-            k_fit = (cap - n_max_now) // q if cap < n_final else cfg.n_iters - it
+            # iterations guaranteed to fit in this bucket (each adds
+            # ≤ min(q, alloc_cap) per TR)
+            k_fit = (cap - n_max_now) // step_max if cap < n_final else cfg.n_iters - it
             aligned = (cfg.n_iters - it) % chunk == 0
             if chunk > 1 and aligned and min(k_fit, cfg.n_iters - it) >= chunk:
                 carries, bests = ladder.get(cap, "scan")(carries)
@@ -411,7 +436,7 @@ def turbom_propose_batch(carries: TurboCarry, cfg: TurboConfig, config: GPConfig
     carries, cands, values = jax.vmap(
         lambda c, k: _tr_proposals_and_values(c, k, cfg, config, n_cand)
     )(carries, prop_keys)
-    tr_idx, cand_idx = global_allocate(values)  # (q,), (q,)
+    tr_idx, cand_idx = global_allocate(values, cfg.alloc_cap)  # (q,), (q,)
     x_sel = cands[tr_idx, cand_idx]  # (q, d)
     return carries, x_sel, tr_idx, restart_keys
 
