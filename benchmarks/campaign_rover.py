@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--local-frac", type=float, default=None)
     ap.add_argument("--y-warp", default=None, choices=["none", "bilog"],
                     help="GPConfig.y_warp override (heavy-tail lever)")
+    ap.add_argument("--kernel", default=None,
+                    choices=["rbf", "matern12", "matern32", "matern52"],
+                    help="GPConfig.kernel override (reference default matern52)")
     ap.add_argument("--alloc-cap", type=int, default=None,
                     help="TurboConfig.alloc_cap override: per-TR slot cap "
                          "per batch in the global TS allocation (None = "
@@ -124,6 +127,8 @@ def main():
         gp_cfg = dataclasses.replace(gp_cfg, fit_maxiter_warm=args.polish_steps)
     if args.grid_warm is not None:
         gp_cfg = dataclasses.replace(gp_cfg, grid_warm_start=args.grid_warm == "on")
+    if args.kernel is not None:
+        gp_cfg = dataclasses.replace(gp_cfg, kernel=args.kernel)
     b = B.get_benchmark(args.benchmark or cfg.benchmark)
     m = args.m or cfg.m
     n_loc = turbo.n_init + turbo.n_iters * turbo.batch_size if args.fixed_cap else None
@@ -157,6 +162,7 @@ def main():
         "local_frac": turbo.local_frac,
         "fail_tol": turbo.tr.fail_tol,  # None = ceil(max(4,d)/q)
         "succ_tol": turbo.tr.succ_tol,
+        "kernel": gp_cfg.kernel,
         "y_warp": gp_cfg.y_warp,
         "fit_maxiter_warm": gp_cfg.fit_maxiter_warm,
         "grid_warm_start": gp_cfg.grid_warm_start,
