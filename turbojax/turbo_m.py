@@ -226,14 +226,15 @@ class _AOTLadder:
     """AOT-compiled per-bucket programs for the host loop (ROADMAP item 2,
     VERDICT r1 weak #1).
 
-    Two programs per bucket capacity: ``step`` (one iteration) and ``scan``
-    (``chunk`` iterations fused into one ``lax.scan`` dispatch — amortizes
-    the per-call host→device round-trip, which dominates through the axon
-    remote tunnel). A single background thread compiles the ladder in order
-    (``jit(...).lower().compile()``), overlapping future-bucket compiles
-    with current-bucket execution; ``get`` returns the finished executable,
-    blocking only if the needed program isn't ready yet ("properly
-    awaited", not best-effort cache warming)."""
+    Per bucket capacity, the workhorse is ``scan`` (``chunk`` iterations
+    fused into one ``lax.scan`` dispatch — amortizes the per-call
+    host→device round-trip, which dominates through the axon remote
+    tunnel); ``step`` (one iteration) exists only for off-grid dispatches.
+    A single background thread compiles rungs one-ahead
+    (``jit(...).lower().compile()``), overlapping the next bucket's
+    compile with current-bucket execution; ``get`` returns the finished
+    executable, blocking only if the needed program isn't ready yet
+    ("properly awaited", not best-effort cache warming)."""
 
     def __init__(self, step_fn, spec0, m: int, caps, chunk: int):
         from concurrent.futures import ThreadPoolExecutor
@@ -310,11 +311,12 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
     the O(cap³) fit cost tracks the actual data size (measured ≈4× faster
     full config-5 run vs fixed buffers).
 
-    Dispatch is chunked: whenever ≥``scan_chunk`` iterations fit in the
-    current bucket, they run as ONE compiled ``lax.scan`` dispatch instead
-    of ``scan_chunk`` host round-trips; all bucket programs are AOT-compiled
-    concurrently with execution (``_AOTLadder``). The persistent XLA cache
-    makes repeat runs' compiles disk hits."""
+    Dispatch is chunk-aligned: the largest chunk ≤ ``scan_chunk`` dividing
+    ``n_iters`` is chosen and buffers grow a full chunk early, so every
+    dispatch is ONE compiled ``lax.scan`` program per bucket (no "step"
+    twin — docs/DESIGN.md §4b); rungs compile one-ahead in a background
+    thread (``_AOTLadder``). The persistent XLA cache makes repeat runs'
+    compiles disk hits."""
     import numpy as np
 
     from turbojax.compile_cache import enable_persistent_cache
