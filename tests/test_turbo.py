@@ -150,3 +150,47 @@ def test_global_allocate_cap_spreads_batch(key):
 
     with pytest.raises(ValueError):
         global_allocate(vals, cap=1)  # 1 * 3 < q=6: cannot cover the batch
+
+
+def test_turbo1_fit_every_cadence():
+    """TurboConfig.fit_every is honored by the jitted loops (it was
+    previously ask/tell-only): with fit_every=k the hypers refit on every
+    k-th accepted batch and are reused (refactorize-only) in between; the
+    run still improves; fit_every=1 is bit-identical to the old
+    unconditional-fit program."""
+    import dataclasses
+
+    from turbojax.trust_region import _fit_or_reuse, make_turbo_carry
+    from turbojax import gp as G
+    from turbojax import linalg as L
+
+    fn = lambda x: jnp.sum((x - 0.4) ** 2, -1)  # noqa: E731
+    cfg1 = TurboConfig(n_init=6, max_evals=40, batch_size=2, n_candidates=32, fit_every=1)
+    cfg3 = dataclasses.replace(cfg1, fit_every=3)
+    gcfg = GPConfig(fit_optimizer="grid", noise_floor=1e-4)
+    c1, _ = run_turbo1(jax.random.key(1), fn, (0.0,) * 3, (1.0,) * 3, cfg1, gcfg)
+    c3, _ = run_turbo1(jax.random.key(1), fn, (0.0,) * 3, (1.0,) * 3, cfg3, gcfg)
+    assert float(c3.best_y) < 0.15  # still optimizes with a 3-batch cadence
+    assert int(c3.n) == int(c1.n)  # same evaluation accounting
+
+    # cadence unit behavior: off-cadence returns the carried raw unchanged
+    key = jax.random.key(0)
+    carry = make_turbo_carry(key, 3, 16, cfg3, gcfg)
+    xs = jax.random.uniform(key, (16, 3), dtype=jnp.float32)  # match the f32 carry
+    carry = carry._replace(
+        x_buf=xs, y_buf=jnp.sum((xs - 0.4) ** 2, -1),
+        n=jnp.asarray(cfg3.n_init + 1 * cfg3.batch_size),  # batch_idx=1: off-cadence
+    )
+    mask = L.row_mask(16, carry.n)
+    st = _fit_or_reuse(key, carry, mask, cfg3, gcfg)
+    for a, b in zip(jax.tree.leaves(st.raw), jax.tree.leaves(carry.raw)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # on-cadence (batch_idx=0 mod 3): the grid fit moves the hypers
+    carry0 = carry._replace(n=jnp.asarray(cfg3.n_init + 3 * cfg3.batch_size))
+    mask0 = L.row_mask(16, carry0.n)
+    st0 = _fit_or_reuse(key, carry0, mask0, cfg3, gcfg)
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(st0.raw), jax.tree.leaves(carry0.raw))
+    )
+    assert moved

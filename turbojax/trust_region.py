@@ -46,7 +46,11 @@ class TurboConfig:
     max_evals: int = 200
     batch_size: int = 10
     n_candidates: Optional[int] = None  # default min(100 d, 5000) [R]
-    fit_every: int = 1
+    fit_every: int = 1  # refit cadence in accepted batches (search phase):
+    # 1 = reference-parity refit-per-iteration; k>1 reuses the carried
+    # hypers and only refactorizes for k−1 of every k batches
+    # (_fit_or_reuse). Honored by run_turbo1/run_turbom AND the ask/tell
+    # Optimizer (api.py)
     local_frac: float = 0.0  # fraction of TR candidates drawn as Gaussian
     # perturbations around the incumbent (σ = local_sigma × TR half-width)
     # instead of uniform Sobol-in-box — densifies the pool near the center
@@ -184,6 +188,28 @@ def _stream_len(cfg: TurboConfig) -> int:
     return ((cfg.n_init + q - 1) // q) * q
 
 
+def _fit_or_reuse(k_fit: Array, c: TurboCarry, mask: Array, cfg: TurboConfig,
+                  config: GPConfig) -> "G.GPState":
+    """Refit-cadence choke point (``TurboConfig.fit_every``, SURVEY.md
+    §7.3.6): refit every ``fit_every``-th batch of accepted data, otherwise
+    reuse the carried hypers and only refactorize over the grown history
+    (``make_gp_state`` — the posterior must always see all data). Cadence
+    is data-growth-based — ``(n − n_init)//q`` — so TuRBO-m TRs whose
+    allocation share varies refit per ~``fit_every·q`` accepted points; a
+    restart (n reset) refits on its first search batch. ``fit_every <= 1``
+    takes the unconditional-fit path with no cond in the program (under
+    TuRBO-m's per-TR vmap a cond computes both branches, so the default
+    config must not pay for the skip branch)."""
+    if cfg.fit_every <= 1:
+        return G.fit_gp(k_fit, c.x_buf, c.y_buf, mask, config, warm_start=c.raw)
+    batch_idx = (c.n - cfg.n_init) // cfg.batch_size
+    return lax.cond(
+        batch_idx % cfg.fit_every == 0,
+        lambda: G.fit_gp(k_fit, c.x_buf, c.y_buf, mask, config, warm_start=c.raw),
+        lambda: G.make_gp_state(c.x_buf, c.y_buf, mask, c.raw, config),
+    )
+
+
 def turbo_propose(
     carry: TurboCarry, key: Array, cfg: TurboConfig, config: GPConfig
 ) -> Tuple[TurboCarry, Array, Array]:
@@ -206,7 +232,7 @@ def turbo_propose(
 
     def search_proposals(c: TurboCarry):
         mask = L.row_mask(c.x_buf.shape[0], c.n)
-        state = G.fit_gp(k_fit, c.x_buf, c.y_buf, mask, config, warm_start=c.raw)
+        state = _fit_or_reuse(k_fit, c, mask, cfg, config)
         c = c._replace(raw=state.raw)
         best_idx = jnp.argmin(jnp.where(mask, c.y_buf, jnp.inf))
         center = c.x_buf[best_idx]

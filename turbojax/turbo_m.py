@@ -76,8 +76,10 @@ def _tr_proposals_and_values(
         return c, cands, values
 
     def search_branch(c: TurboCarry):
+        from turbojax.trust_region import _fit_or_reuse
+
         mask = L.row_mask(c.x_buf.shape[0], c.n)
-        state = G.fit_gp(k_fit, c.x_buf, c.y_buf, mask, config, warm_start=c.raw)
+        state = _fit_or_reuse(k_fit, c, mask, cfg, config)
         c = c._replace(raw=state.raw)
         best_idx = jnp.argmin(jnp.where(mask, c.y_buf, jnp.inf))
         center = c.x_buf[best_idx]
