@@ -65,6 +65,9 @@ def main():
                     help="TurboConfig.alloc_cap override: per-TR slot cap "
                          "per batch in the global TS allocation (None = "
                          "reference-parity unconstrained argmin)")
+    ap.add_argument("--polish-both", action="store_true",
+                    help="GPConfig.grid_polish_both: polish warm AND fresh "
+                         "grid rows, keep the better MLL (chain + escape hatch)")
     ap.add_argument("--grid-warm", default=None, choices=["on", "off"],
                     help="GPConfig.grid_warm_start override: chain the ARD "
                          "polish across refits (warm row in the grid) vs "
@@ -129,6 +132,8 @@ def main():
         gp_cfg = dataclasses.replace(gp_cfg, grid_warm_start=args.grid_warm == "on")
     if args.kernel is not None:
         gp_cfg = dataclasses.replace(gp_cfg, kernel=args.kernel)
+    if args.polish_both:
+        gp_cfg = dataclasses.replace(gp_cfg, grid_polish_both=True)
     b = B.get_benchmark(args.benchmark or cfg.benchmark)
     m = args.m or cfg.m
     n_loc = turbo.n_init + turbo.n_iters * turbo.batch_size if args.fixed_cap else None
@@ -166,6 +171,7 @@ def main():
         "y_warp": gp_cfg.y_warp,
         "fit_maxiter_warm": gp_cfg.fit_maxiter_warm,
         "grid_warm_start": gp_cfg.grid_warm_start,
+        "grid_polish_both": gp_cfg.grid_polish_both,
         "alloc_cap": turbo.alloc_cap,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
         "bests": [round(v, 4) for v in bests],

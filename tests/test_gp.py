@@ -292,3 +292,24 @@ def test_grid_warm_start_chains_and_stays_safe(rng, key):
     g2 = G.fit_gp(key, x_buf, y_buf, mask, cfg_g, warm_start=s1.raw)
     for a, b in zip(jax.tree.leaves(g1.raw), jax.tree.leaves(g2.raw)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grid_polish_both_never_loses_mll(rng, key):
+    """grid_polish_both: the dual-lane polish (warm row + best grid-only
+    row, vmapped) must match or beat the single-lane polish in selected
+    MLL on identical inputs, and stay finite."""
+    import dataclasses
+
+    x, y, x_buf, y_buf, mask = _problem(rng, n=40, d=3, n_max=48)
+    cfg_d = GPConfig(fit_optimizer="grid+adam", fit_maxiter_warm=10, grid_polish_both=True)
+    cfg_s = dataclasses.replace(cfg_d, grid_polish_both=False)
+
+    warm = G.fit_gp(key, x_buf, y_buf, mask, cfg_s).raw
+    s_dual = G.fit_gp(key, x_buf, y_buf, mask, cfg_d, warm_start=warm)
+    s_single = G.fit_gp(key, x_buf, y_buf, mask, cfg_s, warm_start=warm)
+    y_std, _, _ = T.standardize(y_buf, mask)
+    m_dual = float(G.mll(s_dual.raw, x_buf, y_std, mask, cfg_d))
+    m_single = float(G.mll(s_single.raw, x_buf, y_std, mask, cfg_s))
+    assert m_dual >= m_single - 1e-5
+    for leaf in jax.tree.leaves(s_dual.raw):
+        assert np.isfinite(np.asarray(leaf)).all()

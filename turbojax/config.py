@@ -59,6 +59,11 @@ class GPConfig:
     # dominates fit wall-clock on TPU (measured: 18 s → ~6 s at N=2000)
     fit_lr: float = 0.1
     fit_restarts: int = 4
+    grid_polish_both: bool = False  # "grid+adam" + warm chain only: polish
+    # BOTH the warm row and the best grid-only row (one vmapped pair) and
+    # keep the better final MLL — the chain keeps its accumulated ARD
+    # depth, the fresh-grid lane keeps an escape hatch from chain-trapped
+    # local optima. ~2x polish compute (MXU-batched)
     grid_warm_start: bool = True  # "grid+adam" only: enter the previous
     # iteration's polished hypers as an extra grid row and polish from the
     # overall MLL argmax. Chains the ARD refinement across refits (40 Adam

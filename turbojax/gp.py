@@ -332,8 +332,27 @@ def _fit_gp_grid(
 
         steps = config.fit_maxiter_warm or 10
         cfg_a = dataclasses.replace(config, fit_optimizer="adam", fit_maxiter=steps)
-        raw_pol, loss_pol = _fit_one(raw_best, x_buf, y_std_buf, mask, cfg_a)
         n_act = jnp.maximum(jnp.sum(mask).astype(y_std_buf.dtype), 1.0)
+        has_warm = config.grid_warm_start and warm_start is not None
+        if config.grid_polish_both and has_warm:
+            # dual polish (opt-in): polish the warm row AND the best
+            # grid-only row as one vmapped pair — the warm chain keeps its
+            # accumulated ARD depth while the fresh-grid polish retains an
+            # escape hatch from chain-trapped local MLL optima. One extra
+            # batched polish lane (~2x polish compute, MXU-batched).
+            grid_best = jnp.argmax(mlls[:-1])  # best grid-only row
+            seeds = jax.tree.map(
+                lambda a: jnp.stack([a[grid_best], a[-1]]), inits
+            )
+            raw_pols, loss_pols = jax.vmap(
+                lambda r: _fit_one(r, x_buf, y_std_buf, mask, cfg_a)
+            )(seeds)
+            loss_pols = jnp.where(jnp.isfinite(loss_pols), loss_pols, jnp.inf)
+            pbest = jnp.argmin(loss_pols)
+            raw_pol = jax.tree.map(lambda a: a[pbest], raw_pols)
+            loss_pol = loss_pols[pbest]
+        else:
+            raw_pol, loss_pol = _fit_one(raw_best, x_buf, y_std_buf, mask, cfg_a)
         better = jnp.isfinite(loss_pol) & (loss_pol < -mlls[best] / n_act)
         raw_best = jax.tree.map(
             lambda p, g: jnp.where(better, p, g), raw_pol, raw_best
