@@ -85,6 +85,10 @@ def main():
                          "batches before the TR doubles (default 3 [R])")
     ap.add_argument("--fixed-cap", action="store_true",
                     help="full-capacity buffers from iter 0 (chaos probe)")
+    ap.add_argument("--no-split-fit", action="store_true",
+                    help="disable the split-capacity fit (docs/DESIGN.md "
+                         "§4c): every TR lane fits at the shared bucket "
+                         "capacity (the pre-split uniform program)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -143,7 +147,7 @@ def main():
         t0 = time.perf_counter()
         carries, trace = run_turbom(
             jax.random.key(s), b.fn, b.lb, b.ub, turbo, gp_cfg, m=m,
-            n_loc=n_loc, host_loop=True,
+            n_loc=n_loc, host_loop=True, split_fit=not args.no_split_fit,
         )
         best = float(np.asarray(carries.best_y).min())
         wall = time.perf_counter() - t0
@@ -173,6 +177,7 @@ def main():
         "grid_warm_start": gp_cfg.grid_warm_start,
         "grid_polish_both": gp_cfg.grid_polish_both,
         "alloc_cap": turbo.alloc_cap,
+        "split_fit": not args.no_split_fit,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
         "bests": [round(v, 4) for v in bests],
         "median": round(float(np.median(bests)), 4),

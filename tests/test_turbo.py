@@ -194,3 +194,99 @@ def test_turbo1_fit_every_cadence():
         for a, b in zip(jax.tree.leaves(st0.raw), jax.tree.leaves(carry0.raw))
     )
     assert moved
+
+
+def test_split_cap_bounds():
+    """_split_cap: power-of-2 rungs with the _CAPB_MIN floor; the rung
+    bounds every non-largest lane for a full chunk; None when no rung is
+    at most half the full capacity (no FLOP win) or m < 2."""
+    from turbojax.turbo_m import _CAPB_MIN, _split_cap
+
+    assert _split_cap([5], 4096, 16, 10) is None  # m=1
+    assert _split_cap([0, 0, 0, 0, 0], 512, 16, 10) is None  # 2*512 > 512
+    assert _split_cap([300, 40, 50, 60, 70], 1024, 16, 10) == 512
+    assert _split_cap([1800, 60, 40, 50, 55], 2000, 16, 10) == 512
+    # n2=600: need 760 -> rung 1024; 2*1024 > 2000 -> no win
+    assert _split_cap([1800, 600, 40, 50, 55], 2000, 16, 10) is None
+    cap_b = _split_cap([1800, 600, 40, 50, 55], 4096, 16, 10)
+    assert cap_b == 1024 and cap_b >= 600 + 16 * 10 and cap_b >= _CAPB_MIN
+
+
+def test_turbom_split_fit_step_exactness():
+    """Split-capacity proposals (_split_proposals): the largest lane runs
+    the identical full-capacity program (bitwise-equal warm-chain hypers);
+    everything downstream of the fit — selections, buffers, counters,
+    incumbent — is identical to the unsplit step. Small-lane hypers are
+    mathematically equivalent (padding-equivalence, SURVEY.md §7.3.1) but
+    not bitwise-pinned: backend factorization blocking may differ across
+    capacities, which is exactly the fit-flat noise the selection argmins
+    are robust to (BASELINE.md round-3 chaos probe)."""
+    from turbojax.trust_region import make_turbo_carry
+    from turbojax.turbo_m import _make_step
+
+    b = B.get_benchmark("ackley10")
+    dim = len(b.lb)
+    m, cap, cap_b = 3, 64, 32
+    cfg = TurboConfig(n_init=8, max_evals=36, batch_size=2, n_candidates=64)
+    gpc = GPConfig(fit_restarts=4, fit_maxiter=5)
+    keys0 = jax.random.split(jax.random.key(0), m)
+    carries = jax.jit(
+        lambda ks: jax.vmap(lambda k: make_turbo_carry(k, dim, cap, cfg, gpc))(ks)
+    )(keys0)
+    lb = tuple(float(v) for v in b.lb)
+    ub = tuple(float(v) for v in b.ub)
+    step_full = jax.jit(_make_step(b.fn, lb, ub, cfg, gpc, m))
+    step_split = jax.jit(_make_step(b.fn, lb, ub, cfg, gpc, m, cap_b=cap_b))
+    for _ in range(14):  # desynchronize the per-TR active counts
+        carries, _best = step_full(carries)
+    ns = np.asarray(carries.n)
+    assert ns.max() <= cap_b  # precondition _split_cap guarantees in product
+    c_full, best_full = step_full(carries)
+    c_split, best_split = step_split(carries)
+    assert float(best_full) == float(best_split)
+
+    def as_np(a):  # typed PRNG keys refuse plain np.asarray
+        if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+            a = jax.random.key_data(a)
+        return np.asarray(a)
+
+    for name, a, bb in zip(c_full._fields, c_full, c_split):
+        if name == "raw":
+            continue
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(bb)):
+            np.testing.assert_array_equal(as_np(x), as_np(y), err_msg=name)
+    big = int(ns.argmax())
+    for x, y in zip(jax.tree.leaves(c_full.raw), jax.tree.leaves(c_split.raw)):
+        x, y = np.asarray(x), np.asarray(y)
+        np.testing.assert_array_equal(x[big], y[big])  # full-cap lane: bitwise
+        assert np.isfinite(y).all()
+
+
+def test_turbom_host_loop_split_fit_plumbing(monkeypatch):
+    """The host driver's split-fit plumbing end-to-end: with a lowered
+    _CAPB_MIN the ladder compiles and dispatches split programs mid-run
+    (cap_b follows the live second-largest count) and the run stays sane."""
+    import turbojax.turbo_m as TM
+
+    monkeypatch.setattr(TM, "_CAPB_MIN", 8)
+    returned = []
+    orig = TM._split_cap
+
+    def spy(ns, cap, chunk, step_max):
+        r = orig(ns, cap, chunk, step_max)
+        returned.append(r)
+        return r
+
+    monkeypatch.setattr(TM, "_split_cap", spy)
+    b = B.get_benchmark("branin")
+    cfg = TurboConfig(n_init=4, max_evals=90, batch_size=2, n_candidates=16)
+    carries, trace = run_turbom(
+        jax.random.key(5), b.fn, b.lb, b.ub, cfg, GCFG, m=2,
+        host_loop=True, scan_chunk=2,
+    )
+    trace = np.asarray(trace)
+    assert np.all(np.diff(trace) <= 1e-6)
+    assert np.isfinite(trace).all()
+    n_iters = (90 - 4 + 1) // 2
+    assert int(np.asarray(carries.n).sum()) <= n_iters * 2
+    assert any(r is not None for r in returned)  # split programs actually ran

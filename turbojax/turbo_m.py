@@ -95,6 +95,66 @@ def _tr_proposals_and_values(
     return lax.cond(in_search, search_branch, init_branch, carry)
 
 
+_CAPB_MIN = 512  # smallest small-group fit capacity (sub-512 chols are ~ms)
+
+
+def _split_cap(ns, cap: int, chunk: int, step_max: int) -> Optional[int]:
+    """Static fit capacity for the m−1 smaller TRs over the next ``chunk``
+    dispatched iterations, or None when splitting can't pay.
+
+    Global Thompson allocation is winner-takes-most in practice (BASELINE.md
+    round-3 allocation diagnostic: one TR absorbs ~1750 of 2000 rover
+    evaluations), yet the vmapped per-TR fit runs every lane at the shared
+    bucket capacity — m·cap³ Cholesky work where one lane needs cap³ and the
+    rest would fit in a 512 rung. The returned capacity must bound every
+    non-largest lane for the whole chunk: any such lane starts ≤ the
+    2nd-largest count and gains at most ``chunk·step_max`` points (if the
+    largest lane restarts mid-chunk, the overtaking lane also started ≤ n2
+    and lands in the full-capacity slot — still safe). Power-of-2 rungs with
+    a ``_CAPB_MIN`` floor keep the program-signature set small; None when no
+    rung is at most half the full capacity (no meaningful FLOP win)."""
+    if len(ns) < 2:
+        return None
+    n2 = int(sorted(int(v) for v in ns)[-2])
+    need = n2 + chunk * step_max
+    cap_b = _CAPB_MIN
+    while cap_b < need:
+        cap_b *= 2
+    return cap_b if 2 * cap_b <= cap else None
+
+
+def _split_proposals(
+    carries: TurboCarry, prop_keys: Array, cfg: TurboConfig, config: GPConfig,
+    n_cand: int, cap_b: int,
+) -> Tuple[TurboCarry, Array, Array]:
+    """Two-group per-TR proposals: the largest TR at the full buffer
+    capacity, the other m−1 on ``[:cap_b]`` sliced views of their buffers.
+
+    Masked-math invariants (SURVEY.md §7.3.1) make the slice exact: padding
+    is inactive, so a lane with n active rows computes the same fit/posterior
+    at any capacity ≥ n (the padding-equivalence probe measured identical
+    full-budget trajectories across paddings, BASELINE.md round-3 chaos
+    probe). Only ``raw`` (the warm-chain hypers) is written back: per
+    ``_tr_proposals_and_values``'s contract the returned carry differs from
+    its input in that field alone."""
+    perm = jnp.argsort(-carries.n)  # descending by active count; stable
+    cp = jax.tree.map(lambda a: a[perm], carries)
+    kp = prop_keys[perm]
+    big = jax.tree.map(lambda a: a[:1], cp)
+    small = jax.tree.map(lambda a: a[1:], cp)
+    small = small._replace(x_buf=small.x_buf[:, :cap_b], y_buf=small.y_buf[:, :cap_b])
+    f = lambda c, k: _tr_proposals_and_values(c, k, cfg, config, n_cand)  # noqa: E731
+    big_c, big_cands, big_vals = jax.vmap(f)(big, kp[:1])
+    small_c, small_cands, small_vals = jax.vmap(f)(small, kp[1:])
+    inv = jnp.argsort(perm)
+    raw = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b])[inv], big_c.raw, small_c.raw
+    )
+    cands = jnp.concatenate([big_cands, small_cands])[inv]
+    values = jnp.concatenate([big_vals, small_vals])[inv]
+    return carries._replace(raw=raw), cands, values
+
+
 def global_allocate(ts_values: Array, cap: Optional[int] = None) -> Tuple[Array, Array]:
     """Global q-batch argmin-without-replacement across all TRs [R, B:11].
 
@@ -154,10 +214,19 @@ def run_turbom(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    split_fit: bool = True,
 ):
     """TuRBO-m: vmapped per-TR fits + global TS allocation (config 5
     [B:11]). Returns (carries, incumbent_trace); the run-level best is
     ``trace[-1]`` / the min over ``carries.best_y``.
+
+    ``split_fit`` (host mode): fit the non-largest TRs at a small sliced
+    capacity instead of the shared bucket cap (``_split_cap`` /
+    ``_split_proposals``) — global allocation is winner-takes-most, so this
+    removes most of the m·cap³ refit cost at identical masked math. On by
+    default; set False to force every lane onto the uniform-capacity
+    program (e.g. when comparing against the sharded TR-axis path, which
+    is SPMD-uniform and never splits).
 
     ``host_loop=False`` compiles the whole run as one ``lax.scan`` program;
     ``host_loop=True`` jits a single iteration and drives it from the host —
@@ -178,7 +247,7 @@ def run_turbom(
         return _run_turbom_host(
             key, fn, tuple(lb), tuple(ub), cfg, config, m, n_loc, on_iteration,
             scan_chunk=scan_chunk, checkpoint_path=checkpoint_path,
-            checkpoint_every=checkpoint_every, resume=resume,
+            checkpoint_every=checkpoint_every, resume=resume, split_fit=split_fit,
         )
     return _run_turbom_scan(key, fn, tuple(lb), tuple(ub), cfg, config, m, n_loc)
 
@@ -238,16 +307,23 @@ class _AOTLadder:
     executable, blocking only if the needed program isn't ready yet
     ("properly awaited", not best-effort cache warming)."""
 
-    def __init__(self, step_fn, spec0, m: int, caps, chunk: int):
+    def __init__(self, make_step, spec0, m: int, caps, chunk: int,
+                 split_for=None):
         from concurrent.futures import ThreadPoolExecutor
 
-        self._step_fn = step_fn
+        self._make_step = make_step  # cap_b -> one-iteration step function
         self._chunk = chunk
         self._spec0 = spec0
         self._m = m
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._futs = {}
         self._caps = list(caps)
+        # split-capacity predictor (cap -> cap_b) for prefetch keys; the
+        # driver closes it over its live per-TR counts so the one-ahead
+        # compile targets the program the next dispatch will actually ask
+        # for (a wrong prediction only costs a lazy compile, never
+        # correctness — get() keys on the exact (cap, kind, cap_b) asked).
+        self._split_for = split_for or (lambda cap: None)
         # Only "scan" programs are prefetched, ONE BUCKET AHEAD: the driver
         # aligns its dispatch grid to the chunk (grow-early + divisor chunk),
         # so "step" programs are needed only off-grid (unaligned resume,
@@ -257,10 +333,10 @@ class _AOTLadder:
         # and its ~50 MB executable costs ~150 s to load through the axon
         # tunnel even on a persistent-cache hit (docs/DESIGN.md §4b).
         if self._caps:
-            self._futs[(self._caps[0], "scan")] = self._pool.submit(
-                self._compile, self._caps[0], "scan"
-            )
-            self._prefetch_after(self._caps[0])
+            cap0 = self._caps[0]
+            key = (cap0, "scan", self._split_for(cap0))
+            self._futs[key] = self._pool.submit(self._compile, *key)
+            self._prefetch_after(cap0)
 
     def _prefetch_after(self, cap: int):
         """Queue the next ladder bucket's scan program (one-ahead)."""
@@ -268,8 +344,9 @@ class _AOTLadder:
             nxt = self._caps[self._caps.index(cap) + 1]
         except (ValueError, IndexError):
             return
-        if (nxt, "scan") not in self._futs:
-            self._futs[(nxt, "scan")] = self._pool.submit(self._compile, nxt, "scan")
+        key = (nxt, "scan", self._split_for(nxt))
+        if key not in self._futs:
+            self._futs[key] = self._pool.submit(self._compile, *key)
 
     def _grow_spec(self, cap: int):
         spec = self._spec0
@@ -277,20 +354,22 @@ class _AOTLadder:
         y = jax.ShapeDtypeStruct((self._m, cap), spec.y_buf.dtype)
         return spec._replace(x_buf=x, y_buf=y)
 
-    def _compile(self, cap: int, kind: str):
+    def _compile(self, cap: int, kind: str, cap_b):
+        step_fn = self._make_step(cap_b)
         if kind == "step":
-            fn = self._step_fn
+            fn = step_fn
         else:
             fn = lambda c: lax.scan(  # noqa: E731
-                lambda c2, _: self._step_fn(c2), c, None, length=self._chunk
+                lambda c2, _: step_fn(c2), c, None, length=self._chunk
             )
         return jax.jit(fn).lower(self._grow_spec(cap)).compile()
 
-    def get(self, cap: int, kind: str):
-        fut = self._futs.get((cap, kind))
+    def get(self, cap: int, kind: str, cap_b=None):
+        key = (cap, kind, cap_b)
+        fut = self._futs.get(key)
         if fut is None:  # off-ladder capacity / lazy "step": compile now
-            fut = self._pool.submit(self._compile, cap, kind)
-            self._futs[(cap, kind)] = fut
+            fut = self._pool.submit(self._compile, *key)
+            self._futs[key] = fut
         if kind == "scan":
             self._prefetch_after(cap)  # overlap the next bucket's compile
         return fut.result()
@@ -306,7 +385,8 @@ class _AOTLadder:
 
 def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
                      scan_chunk: int = 16, checkpoint_path=None,
-                     checkpoint_every: int = 0, resume: bool = False):
+                     checkpoint_every: int = 0, resume: bool = False,
+                     split_fit: bool = True):
     """Host driver with **bucketed buffer growth**: buffers start at the
     smallest power-of-2 capacity and double as histories fill. Early
     iterations then factorize 256² matrices instead of the final 2048² —
@@ -367,15 +447,27 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
             if cfg.n_iters % c == 0:
                 chunk = c
                 break
+    # Split-capacity fit (see _split_cap/_split_proposals): the driver keeps
+    # a live snapshot of the per-TR active counts; the ladder's prefetcher
+    # reads the same snapshot so the one-ahead compile targets the program
+    # the next dispatch will ask for. Margin is always a full chunk (also
+    # for single-"step" dispatches) so both program kinds share one cap_b
+    # per bucket.
+    ns_cell = [jax.device_get(carries.n)]
+    if split_fit:
+        split_for = lambda c: _split_cap(ns_cell[0], c, chunk, step_max)  # noqa: E731
+    else:
+        split_for = lambda c: None  # noqa: E731
     ladder = _AOTLadder(
-        _make_step(fn, lb, ub, cfg, config, m), spec0, m,
-        _bucket_ladder(cap, n_final), chunk,
+        lambda cap_b: _make_step(fn, lb, ub, cfg, config, m, cap_b), spec0, m,
+        _bucket_ladder(cap, n_final), chunk, split_for=split_for,
     )
 
     it = len(trace)
     try:
         while it < cfg.n_iters:
-            n_max_now = int(jnp.max(carries.n))
+            ns_cell[0] = jax.device_get(carries.n)
+            n_max_now = int(ns_cell[0].max())
             # grow EARLY: make room for a full chunk before dispatching, so
             # every dispatch in a bucket is the "scan" program. Growth timing
             # is numerically free — masked padding is exactly equivalent
@@ -383,13 +475,13 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
             if cap < n_final and (cap - n_max_now) // step_max < chunk:
                 cap = min(max(cap * 2, n_max_now + chunk * step_max), n_final)
                 carries = _grow_carries(carries, cap)
-                n_max_now = int(jnp.max(carries.n))
             # iterations guaranteed to fit in this bucket (each adds
             # ≤ min(q, alloc_cap) per TR)
             k_fit = (cap - n_max_now) // step_max if cap < n_final else cfg.n_iters - it
+            cap_b = split_for(cap)
             aligned = (cfg.n_iters - it) % chunk == 0
             if chunk > 1 and aligned and min(k_fit, cfg.n_iters - it) >= chunk:
-                carries, bests = ladder.get(cap, "scan")(carries)
+                carries, bests = ladder.get(cap, "scan", cap_b)(carries)
                 bests = np.asarray(jax.device_get(bests))
                 for j, b in enumerate(bests):
                     if on_iteration is not None:
@@ -397,7 +489,7 @@ def _run_turbom_host(key, fn, lb, ub, cfg, config, m, n_loc, on_iteration=None,
                     trace.append(b)
                 it += chunk
             else:
-                carries, best = ladder.get(cap, "step")(carries)
+                carries, best = ladder.get(cap, "step", cap_b)(carries)
                 trace.append(best)
                 if on_iteration is not None:
                     on_iteration(it, float(best))
@@ -419,12 +511,18 @@ def _check_n_cand(cfg: TurboConfig, n_cand: int):
     )
 
 
-def turbom_propose_batch(carries: TurboCarry, cfg: TurboConfig, config: GPConfig, m: int):
+def turbom_propose_batch(carries: TurboCarry, cfg: TurboConfig, config: GPConfig,
+                         m: int, cap_b: Optional[int] = None):
     """First half of a TuRBO-m iteration: per-TR proposals (vmapped) +
     global Thompson allocation. Returns (carries, x_sel (q, d) unit cube,
     tr_idx (q,), restart_keys (m,)) — feed the evaluations plus these to
     ``turbom_absorb_batch``. Used by the compiled step and the ask/tell
-    API (SURVEY.md C15 API (a) for C18)."""
+    API (SURVEY.md C15 API (a) for C18).
+
+    ``cap_b`` (static): split-capacity fit — all lanes except the largest
+    run on ``[:cap_b]`` buffer slices (see ``_split_proposals``); the caller
+    must guarantee every non-largest lane's active count stays ≤ cap_b
+    while this program is dispatched (``_split_cap``)."""
     dim = carries.x_buf.shape[-1]
     n_cand = cfg.n_candidates or S.n_candidates(dim)
     _check_n_cand(cfg, n_cand)
@@ -437,9 +535,14 @@ def turbom_propose_batch(carries: TurboCarry, cfg: TurboConfig, config: GPConfig
     new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(carries.key)
     carries = carries._replace(key=new_keys)
 
-    carries, cands, values = jax.vmap(
-        lambda c, k: _tr_proposals_and_values(c, k, cfg, config, n_cand)
-    )(carries, prop_keys)
+    if cap_b is not None and cap_b < carries.x_buf.shape[1]:
+        carries, cands, values = _split_proposals(
+            carries, prop_keys, cfg, config, n_cand, cap_b
+        )
+    else:
+        carries, cands, values = jax.vmap(
+            lambda c, k: _tr_proposals_and_values(c, k, cfg, config, n_cand)
+        )(carries, prop_keys)
     tr_idx, cand_idx = global_allocate(values, cfg.alloc_cap)  # (q,), (q,)
     x_sel = cands[tr_idx, cand_idx]  # (q, d)
     return carries, x_sel, tr_idx, restart_keys
@@ -475,9 +578,12 @@ def turbom_absorb_batch(
     return carries, jnp.min(carries.best_y)
 
 
-def _make_step(fn, lb, ub, cfg: TurboConfig, config: GPConfig, m: int):
+def _make_step(fn, lb, ub, cfg: TurboConfig, config: GPConfig, m: int,
+               cap_b: Optional[int] = None):
     """One TuRBO-m iteration over all m TRs (shared by the scan and
-    host-loop drivers; also the unit the sharded path parallels)."""
+    host-loop drivers; also the unit the sharded path parallels).
+    ``cap_b``: static split-fit capacity for the non-largest lanes
+    (host-loop only — see ``turbom_propose_batch``)."""
     dim = len(lb)
     lb_a = jnp.asarray(lb, jnp.float32)
     ub_a = jnp.asarray(ub, jnp.float32)
@@ -486,7 +592,9 @@ def _make_step(fn, lb, ub, cfg: TurboConfig, config: GPConfig, m: int):
     _check_n_cand(cfg, cfg.n_candidates or S.n_candidates(dim))
 
     def step(carries: TurboCarry):
-        carries, x_sel, tr_idx, restart_keys = turbom_propose_batch(carries, cfg, config, m)
+        carries, x_sel, tr_idx, restart_keys = turbom_propose_batch(
+            carries, cfg, config, m, cap_b
+        )
         y_sel = fn(T.from_unit_cube(x_sel, lb_a, ub_a)).astype(x_sel.dtype)
         return turbom_absorb_batch(
             carries, x_sel, y_sel, tr_idx, restart_keys, cfg, config, m, fail_tol
