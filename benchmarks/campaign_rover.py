@@ -83,6 +83,10 @@ def main():
     ap.add_argument("--succ-tol", type=int, default=None,
                     help="TRConfig.succ_tol override: consecutive improved "
                          "batches before the TR doubles (default 3 [R])")
+    ap.add_argument("--fit-every", type=int, default=None,
+                    help="TurboConfig.fit_every override: refit cadence in "
+                         "accepted batches per TR (default 1 = every batch "
+                         "[R]; the remaining wall lever on the dominant TR)")
     ap.add_argument("--fixed-cap", action="store_true",
                     help="full-capacity buffers from iter 0 (chaos probe)")
     ap.add_argument("--no-split-fit", action="store_true",
@@ -120,6 +124,8 @@ def main():
         turbo = dataclasses.replace(turbo, local_frac=args.local_frac)
     if args.alloc_cap is not None:
         turbo = dataclasses.replace(turbo, alloc_cap=args.alloc_cap)
+    if args.fit_every is not None:
+        turbo = dataclasses.replace(turbo, fit_every=args.fit_every)
     if args.fail_tol is not None or args.succ_tol is not None:
         tr = turbo.tr
         if args.fail_tol is not None:
@@ -177,6 +183,7 @@ def main():
         "grid_warm_start": gp_cfg.grid_warm_start,
         "grid_polish_both": gp_cfg.grid_polish_both,
         "alloc_cap": turbo.alloc_cap,
+        "fit_every": turbo.fit_every,
         "split_fit": not args.no_split_fit,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
         "bests": [round(v, 4) for v in bests],
