@@ -43,6 +43,44 @@ def test_optimize_turbom():
     assert res.incumbent_trace.shape[0] > 0
 
 
+def test_optimize_bo_mesh_routes_distributed():
+    """optimize(mesh=...) is the front door for the N ≫ chip workflow
+    (VERDICT r2 task 5): same Result surface, surrogate forced through the
+    distributed route by the tiny budget override."""
+    import dataclasses
+
+    from turbojax import parallel as PAR
+
+    b = B.get_benchmark("branin")
+    cfg = dataclasses.replace(GCFG, fit_optimizer="adam", fit_maxiter=5)
+    res = optimize(
+        b.fn, b.lb, b.ub, max_evals=32, method="bo", n_init=8,
+        batch_size=4, acq="ei", gp_config=cfg, n_candidates=64,
+        mesh=PAR.make_mesh(4, axis="rows"), budget_bytes=1,
+    )
+    assert res.y_hist.shape == (32,)
+    assert res.best_y == pytest.approx(res.y_hist.min())
+    assert float(b(res.best_x[None])[0]) == pytest.approx(res.best_y, rel=1e-4)
+    assert res.best_y < res.y_hist[:8].min()  # improved on the init design
+
+
+def test_optimize_mesh_rejects_turbo_methods():
+    from turbojax import parallel as PAR
+
+    b = B.get_benchmark("branin")
+    with pytest.raises(ValueError, match="method='bo'"):
+        optimize(
+            b.fn, b.lb, b.ub, max_evals=20, method="turbo1",
+            mesh=PAR.make_mesh(4, axis="rows"),
+        )
+    with pytest.raises(ValueError, match="checkpoint"):
+        optimize(
+            b.fn, b.lb, b.ub, max_evals=20, method="bo", n_init=4,
+            batch_size=4, mesh=PAR.make_mesh(4, axis="rows"),
+            checkpoint_path="/tmp/nope.ckpt", checkpoint_every=2,
+        )
+
+
 def test_ask_tell_turbo1_black_box():
     """The ask/tell protocol with a numpy-only objective (C15 API (a))."""
     b = B.get_benchmark("branin")

@@ -64,6 +64,46 @@ def test_distributed_bo_imputes_failures(key):
     assert float(res.best_y) < 1.0
 
 
+@pytest.mark.parametrize("budget_bytes", [1, None])  # distributed / dense route
+def test_refactor_sees_new_data(key, budget_bytes):
+    """refactor_gp_auto: the off-iteration factor refresh absorbs the grown
+    history at pinned hypers — a stale fitted object must not be reused
+    (regression: run_bo_distributed's fit_every>1 / fit_every=0 lanes)."""
+    from turbojax import distributed_linalg as DL
+
+    mesh = PAR.make_mesh(4, axis="rows")
+    kw = {} if budget_bytes is None else {"budget_bytes": budget_bytes}
+    k1, k2 = jax.random.split(key)
+    x1 = jax.random.uniform(k1, (16, 3))
+    y1 = _quad(x1)
+    g = DL.fit_gp_auto(k1, x1, y1, CFG, mesh, panel=2, **kw)
+    x_new = jax.random.uniform(k2, (8, 3))
+    y_new = _quad(x_new)
+    x2 = jnp.concatenate([x1, x_new])
+    y2 = jnp.concatenate([y1, y_new])
+    g2 = DL.refactor_gp_auto(x2, y2, g.raw, CFG, mesh, panel=2, **kw)
+    mu_old, var_old = g.posterior(x_new)
+    mu_new, var_new = g2.posterior(x_new)
+    # the refreshed factor has absorbed the new observations: posterior
+    # variance collapses there and the mean moves toward the data
+    assert np.all(np.asarray(var_new) < np.asarray(var_old))
+    err_old = np.abs(np.asarray(mu_old) - np.asarray(y_new)).mean()
+    err_new = np.abs(np.asarray(mu_new) - np.asarray(y_new)).mean()
+    assert err_new <= err_old + 1e-9
+
+
+def test_distributed_bo_fixed_hypers_still_learns(key):
+    """fit_every=0 pins the hypers but the loop must keep refreshing the
+    factorization over new data (dense run_bo's fixed-hyper semantics)."""
+    mesh = PAR.make_mesh(4, axis="rows")
+    bo = BOConfig(n_init=8, max_evals=32, batch_size=4, acq="ei",
+                  n_candidates=128, fit_every=0)
+    res = run_bo_distributed(
+        key, _quad, [0.0] * 3, [1.0] * 3, bo, CFG, mesh, budget_bytes=1
+    )
+    assert float(res.best_y) < float(res.y_hist[:8].min())
+
+
 def test_distributed_bo_rejects_bad_layout(key):
     mesh = PAR.make_mesh(8, axis="rows")
     with pytest.raises(ValueError, match="multiples of the mesh size"):

@@ -167,6 +167,37 @@ def test_fit_recovers_hypers(rng, key, optimizer):
     assert np.all(ls > 0.03) and np.all(ls < 5.0)
 
 
+def test_fit_gtol_early_stop(rng):
+    """fit_gtol (adam early-stop): an unreachable tolerance reproduces the
+    fixed-depth trajectory exactly; a loose one still returns finite hypers
+    whose loss is near the fully-converged one (the warm-chain wall lever —
+    BASELINE.md round-3 probe)."""
+    import dataclasses
+
+    x, y, x_buf, y_buf, mask = _problem(rng, n=40, d=3, n_max=64)
+    y_std, _, _ = T.standardize(y_buf, mask)
+    cfg0 = dataclasses.replace(CFG, fit_optimizer="adam", fit_maxiter=30)
+    raw0 = _raw(3, 0.7, 1.5, 1e-2, cfg0)
+
+    raw_fix, loss_fix = jax.jit(G._fit_one, static_argnums=4)(
+        raw0, x_buf, y_std, mask, cfg0
+    )
+    cfg_tiny = dataclasses.replace(cfg0, fit_gtol=1e-30)
+    raw_ws, loss_ws = jax.jit(G._fit_one, static_argnums=4)(
+        raw0, x_buf, y_std, mask, cfg_tiny
+    )
+    for a, b in zip(jax.tree.leaves(raw_fix), jax.tree.leaves(raw_ws)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(float(loss_fix), float(loss_ws), rtol=1e-6)
+
+    cfg_loose = dataclasses.replace(cfg0, fit_gtol=5e-2)
+    raw_es, loss_es = jax.jit(G._fit_one, static_argnums=4)(
+        raw0, x_buf, y_std, mask, cfg_loose
+    )
+    assert all(bool(jnp.all(jnp.isfinite(a))) for a in jax.tree.leaves(raw_es))
+    assert float(loss_es) <= float(loss_fix) + 0.1
+
+
 def test_posterior_chunking_is_exact(rng):
     x, y, x_buf, y_buf, mask = _problem(rng, n=25, d=2, n_max=32)
     raw = _raw(2, 0.5, 1.0, 1e-3)

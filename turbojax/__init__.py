@@ -27,7 +27,12 @@ from turbojax.api import Optimizer, Turbo1, TurboM, optimize
 from turbojax.bo import BOConfig, run_bo
 from turbojax.bo_distributed import run_bo_distributed
 from turbojax.config import GPConfig, TRConfig
-from turbojax.distributed_linalg import DistributedGP, fit_distributed_gp, fit_gp_auto
+from turbojax.distributed_linalg import (
+    DistributedGP,
+    fit_distributed_gp,
+    fit_gp_auto,
+    refactor_gp_auto,
+)
 from turbojax.gp import GPParams, GPState, fit_gp, gp_posterior, make_gp_state
 from turbojax.runlog import RunLog
 from turbojax.trust_region import TRState, TurboConfig, run_turbo1
@@ -56,6 +61,7 @@ __all__ = [
     "fit_distributed_gp",
     "fit_gp",
     "fit_gp_auto",
+    "refactor_gp_auto",
     "gp_posterior",
     "kernels",
     "linalg",

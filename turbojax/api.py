@@ -55,6 +55,8 @@ def optimize(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    mesh=None,
+    budget_bytes: Optional[int] = None,
 ) -> Result:
     """One-shot optimization of a jnp-expressible objective, fully on device.
 
@@ -71,6 +73,14 @@ def optimize(
     continues the exact uninterrupted trajectory (fresh start otherwise).
     Works for every method — checkpointing routes through the host/segmented
     drivers automatically.
+
+    ``mesh`` (``jax.sharding.Mesh``, ``method="bo"`` only): run the
+    N ≫ single-chip workflow — the surrogate auto-routes between the dense
+    single-chip GP and the row-block-sharded ``DistributedGP``
+    (``distributed_linalg.fit_gp_auto``) on a per-device memory threshold
+    (``budget_bytes`` overrides it; SURVEY.md §5.7(b)). Requires
+    ``acq ∈ {"ei", "lcb"}`` and ``n_init``/``batch_size`` multiples of the
+    mesh size (the distributed history is row-sharded without masking).
     """
     lb_t, ub_t = tuple(float(v) for v in lb), tuple(float(v) for v in ub)
     dim = len(lb_t)
@@ -78,12 +88,37 @@ def optimize(
     n_init = n_init or min(2 * dim, max_evals // 3) or 1
     batch_size = batch_size or (1 if method == "bo" else 10)
 
+    if mesh is not None and method != "bo":
+        raise ValueError(
+            "mesh= routes the distributed surrogate, which only the plain-BO "
+            "loop supports (method='bo'); TuRBO's device parallelism is the "
+            "trust-region/candidate-axis sharding in turbojax.parallel"
+        )
+
     if method == "bo":
         cfg = BO.BOConfig(
             n_init=n_init, max_evals=max_evals, batch_size=batch_size, acq=acq,
             fit_every=fit_every,
             n_candidates=n_candidates or min(100 * dim, 5000),
         )
+        if mesh is not None:
+            if checkpoint_path:
+                raise ValueError(
+                    "checkpointing is not supported on the distributed-"
+                    "surrogate path (the history is unmasked and host-"
+                    "mirrored; re-run from the returned history instead)"
+                )
+            from turbojax.bo_distributed import run_bo_distributed
+
+            kw = {} if budget_bytes is None else {"budget_bytes": budget_bytes}
+            dres = run_bo_distributed(
+                key, fn, lb_t, ub_t, cfg, gp_config, mesh, **kw
+            )
+            return Result(
+                best_x=np.asarray(dres.best_x), best_y=float(dres.best_y),
+                x_hist=np.asarray(dres.x_hist), y_hist=np.asarray(dres.y_hist),
+                incumbent_trace=np.asarray(dres.incumbent_trace),
+            )
         hl = host_loop if host_loop is not None else (fit_every > 0 and cfg.n_iters > 40)
         res = BO.run_bo(
             key, fn, lb_t, ub_t, cfg, gp_config, host_loop=hl,

@@ -35,7 +35,11 @@ from turbojax import sampling as S
 from turbojax import transforms as T
 from turbojax.bo import BOConfig
 from turbojax.config import GPConfig
-from turbojax.distributed_linalg import DENSE_BUDGET_BYTES, fit_gp_auto
+from turbojax.distributed_linalg import (
+    DENSE_BUDGET_BYTES,
+    fit_gp_auto,
+    refactor_gp_auto,
+)
 
 Array = jax.Array
 
@@ -111,13 +115,22 @@ def run_bo_distributed(
     for it in range(bo.n_iters):
         k_fit, k_cand, k_loc, k_loop = jax.random.split(k_loop, 4)
         n = x_hist.shape[0]
+        panel = _auto_panel(max(n // n_dev, 1))
         if g is None or (bo.fit_every and it % bo.fit_every == 0):
-            panel = _auto_panel(max(n // n_dev, 1))
             g = fit_gp_auto(
                 k_fit, x_hist, y_hist, config, mesh, panel=panel,
                 budget_bytes=budget_bytes, warm_start=warm,
             )
             warm = g.raw
+        else:
+            # off-iteration (fit_every cadence): hypers stay pinned but the
+            # factorization MUST refresh over the grown history — the
+            # posterior always sees all data (trust_region._fit_or_reuse
+            # semantics; a stale factor would skip the newest batches)
+            g = refactor_gp_auto(
+                x_hist, y_hist, warm, config, mesh, panel=panel,
+                budget_bytes=budget_bytes,
+            )
 
         n_local = int(bo.local_frac * bo.n_candidates)
         cands = S.sobol_sample(k_cand, dim, bo.n_candidates - n_local, jnp.float32)

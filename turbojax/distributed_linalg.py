@@ -735,3 +735,44 @@ def fit_gp_auto(
     # .mll() must score the same (warped, standardized) targets
     y_std_buf, _, _ = T.standardize(T.warp_y(y, config.y_warp), mask)
     return _DenseGPAdapter(state, config, y_std_buf)
+
+
+def refactor_gp_auto(
+    x: Array,
+    y: Array,
+    raw,
+    config: GPConfig = GPConfig(),
+    mesh: Optional[Mesh] = None,
+    panel: int = 128,
+    budget_bytes: int = DENSE_BUDGET_BYTES,
+):
+    """Rebuild the cached factorization over the CURRENT ``(x, y)`` at
+    pinned hypers ``raw`` — the refit-cadence off-iteration twin of
+    ``fit_gp_auto`` (same auto-routing, same returned surface, no MLL
+    optimization). The posterior must always see all data even between
+    hyperparameter refits (``trust_region._fit_or_reuse`` is the dense-loop
+    analog; SURVEY.md §7.3.6): reusing a stale fitted object skips the new
+    observations entirely, which silently degrades ``fit_every > 1`` loops
+    and breaks ``fit_every = 0`` (fixed hypers, factor-only updates)."""
+    from turbojax import gp as G
+    from turbojax import linalg as L
+    from turbojax import transforms as T
+
+    n = x.shape[0]
+    if should_distribute(n, mesh, x.dtype, budget_bytes):
+        params = G.constrain_params(raw, config)
+        y_mean = jnp.mean(y)
+        y_sd = jnp.maximum(jnp.std(y), jnp.asarray(1e-8, y.dtype))
+        dgp = DistributedGP(mesh, kernel=config.kernel, panel=panel,
+                            jitter=config.jitter)
+        dgp.fit(
+            x, (y - y_mean) / y_sd, params["lengthscale"],
+            params["outputscale"], params["noise"], mean=params["mean"],
+        )
+        dgp.y_mean, dgp.y_sd = y_mean, y_sd
+        dgp.raw = raw
+        return dgp
+    mask = L.row_mask(n, jnp.asarray(n))
+    state = G.make_gp_state(x, y, mask, raw, config)
+    y_std_buf, _, _ = T.standardize(T.warp_y(y, config.y_warp), mask)
+    return _DenseGPAdapter(state, config, y_std_buf)

@@ -213,8 +213,7 @@ def _fit_one(raw0: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GP
     if config.fit_optimizer == "adam":
         opt = optax.adam(config.fit_lr)
 
-        def body(_, carry):
-            raw, opt_state = carry
+        def adam_step(raw, opt_state):
             grads = jax.grad(loss)(raw)
             # NaN robustness: a failed f32 Cholesky inside the loss (near-
             # duplicate rows at extreme hypers) yields NaN grads; one such
@@ -229,6 +228,33 @@ def _fit_one(raw0: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GP
                 jnp.stack([jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(new_raw)])
             )
             raw = jax.tree.map(lambda new, old: jnp.where(ok, new, old), new_raw, raw)
+            return raw, opt_state, optax.tree_utils.tree_norm(grads)
+
+        if config.fit_gtol > 0.0:
+            # early-stop lane (fit_gtol): same NaN-robust step inside a
+            # bounded while_loop, stopping once ‖∇(−mll/n)‖ ≤ gtol — the
+            # same convergence condition as the L-BFGS path below. Pays for
+            # itself when warm-started refits are already near the optimum
+            # (the grid+adam warm chain); fit_gtol = 0 keeps the
+            # fixed-trip-count fori_loop (bitwise round-3 default).
+            def w_cond(carry):
+                _, _, it, gnorm = carry
+                return jnp.logical_and(it < config.fit_maxiter, gnorm > config.fit_gtol)
+
+            def w_body(carry):
+                raw, opt_state, it, _ = carry
+                raw, opt_state, gnorm = adam_step(raw, opt_state)
+                return raw, opt_state, it + 1, gnorm
+
+            raw_fin, _, _, _ = lax.while_loop(
+                w_cond, w_body,
+                (raw0, opt.init(raw0), jnp.asarray(0), jnp.asarray(jnp.inf, y_std.dtype)),
+            )
+            return raw_fin, loss(raw_fin)
+
+        def body(_, carry):
+            raw, opt_state = carry
+            raw, opt_state, _ = adam_step(raw, opt_state)
             return raw, opt_state
 
         raw_fin, _ = lax.fori_loop(0, config.fit_maxiter, body, (raw0, opt.init(raw0)))
