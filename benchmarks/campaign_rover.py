@@ -87,9 +87,9 @@ def main():
                     help="TurboConfig.fit_every override: refit cadence in "
                          "accepted batches per TR (default 1 = every batch "
                          "[R]; the remaining wall lever on the dominant TR)")
-    ap.add_argument("--fit-gtol", type=float, default=None,
-                    help="GPConfig.fit_gtol override: adam-polish early-stop "
-                         "gradient tolerance (0 = fixed-depth default; the "
+    ap.add_argument("--fit-ftol", type=float, default=None,
+                    help="GPConfig.fit_ftol override: adam-polish early-stop per-step loss-"
+                         "improvement tolerance (0 = fixed-depth default; the "
                          "warm-chain wall lever)")
     ap.add_argument("--fixed-cap", action="store_true",
                     help="full-capacity buffers from iter 0 (chaos probe)")
@@ -148,8 +148,8 @@ def main():
         gp_cfg = dataclasses.replace(gp_cfg, kernel=args.kernel)
     if args.polish_both:
         gp_cfg = dataclasses.replace(gp_cfg, grid_polish_both=True)
-    if args.fit_gtol is not None:
-        gp_cfg = dataclasses.replace(gp_cfg, fit_gtol=args.fit_gtol)
+    if args.fit_ftol is not None:
+        gp_cfg = dataclasses.replace(gp_cfg, fit_ftol=args.fit_ftol)
     b = B.get_benchmark(args.benchmark or cfg.benchmark)
     m = args.m or cfg.m
     n_loc = turbo.n_init + turbo.n_iters * turbo.batch_size if args.fixed_cap else None

@@ -167,11 +167,11 @@ def test_fit_recovers_hypers(rng, key, optimizer):
     assert np.all(ls > 0.03) and np.all(ls < 5.0)
 
 
-def test_fit_gtol_early_stop(rng):
-    """fit_gtol (adam early-stop): an unreachable tolerance reproduces the
-    fixed-depth trajectory exactly; a loose one still returns finite hypers
-    whose loss is near the fully-converged one (the warm-chain wall lever —
-    BASELINE.md round-3 probe)."""
+def test_fit_ftol_early_stop(rng):
+    """fit_ftol (adam early-stop on per-step loss improvement): an
+    unreachable tolerance reproduces the fixed-depth trajectory exactly; a
+    loose one still returns finite hypers whose loss is near the fully-
+    converged one (the warm-chain wall lever — BASELINE.md round-3 probe)."""
     import dataclasses
 
     x, y, x_buf, y_buf, mask = _problem(rng, n=40, d=3, n_max=64)
@@ -182,7 +182,7 @@ def test_fit_gtol_early_stop(rng):
     raw_fix, loss_fix = jax.jit(G._fit_one, static_argnums=4)(
         raw0, x_buf, y_std, mask, cfg0
     )
-    cfg_tiny = dataclasses.replace(cfg0, fit_gtol=1e-30)
+    cfg_tiny = dataclasses.replace(cfg0, fit_ftol=1e-30)
     raw_ws, loss_ws = jax.jit(G._fit_one, static_argnums=4)(
         raw0, x_buf, y_std, mask, cfg_tiny
     )
@@ -190,7 +190,7 @@ def test_fit_gtol_early_stop(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
     np.testing.assert_allclose(float(loss_fix), float(loss_ws), rtol=1e-6)
 
-    cfg_loose = dataclasses.replace(cfg0, fit_gtol=5e-2)
+    cfg_loose = dataclasses.replace(cfg0, fit_ftol=1e-3)
     raw_es, loss_es = jax.jit(G._fit_one, static_argnums=4)(
         raw0, x_buf, y_std, mask, cfg_loose
     )

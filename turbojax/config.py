@@ -59,10 +59,12 @@ class GPConfig:
     # dominates fit wall-clock on TPU (measured: 18 s → ~6 s at N=2000)
     fit_lr: float = 0.1
     fit_restarts: int = 4
-    fit_gtol: float = 0.0  # adam path only: early-stop once ‖∇(−mll/n)‖ ≤
-    # gtol (bounded while_loop; same condition as the L-BFGS path). 0 =
-    # fixed fit_maxiter trip count (the measured round-3 default). Pays off
-    # when warm-chained refits (grid_warm_start) are already near the MLL
+    fit_ftol: float = 0.0  # adam path only: early-stop once the per-step
+    # loss improvement |Δ(−mll/n)| < ftol (bounded while_loop, after a
+    # maxiter/4 warm-up). 0 = fixed fit_maxiter trip count (the measured
+    # round-3 default). Gradient norm was measured and rejected as the stop
+    # signal (plateau ‖∇‖ < converged ‖∇‖ at d=60 — see gp._fit_one). Pays
+    # off when warm-chained refits (grid_warm_start) start near the MLL
     # optimum — see BASELINE.md round-3 polish early-stop probe
     grid_polish_both: bool = False  # "grid+adam" + warm chain only: polish
     # BOTH the warm row and the best grid-only row (one vmapped pair) and
