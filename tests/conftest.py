@@ -44,6 +44,40 @@ import numpy as np
 import pytest
 
 
+def _raise_vm_max_map_count(target: int = 262144) -> None:
+    """Best-effort bump of the kernel's mmap-region cap for this suite.
+
+    The full suite compiles hundreds of XLA CPU executables in ONE process;
+    jaxlib's JIT code regions push the process VMA count past the kernel
+    default ``vm.max_map_count`` (65530) right at the largest TuRBO-m scan
+    compiles. The failed mmap then aborts/segfaults INSIDE native XLA
+    serialize/deserialize with no Python traceback (measured 2026-08-19:
+    58.8k maps immediately before a deterministic crash at the 218th test,
+    in both the cache-read and cache-write paths, never reproducible on any
+    subset of the suite). Root containers may write the sysctl; elsewhere we
+    warn so the failure mode is at least named when it strikes.
+    """
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        with open(path) as f:
+            current = int(f.read().strip())
+        if current < target:
+            with open(path, "w") as f:
+                f.write(str(target))
+    except (OSError, ValueError):
+        import warnings
+
+        warnings.warn(
+            f"could not raise {path} (need ≥~100k for the full suite in one "
+            "process; a low cap can abort native XLA code mid-suite with no "
+            "Python traceback). Run the suite in shards if it crashes.",
+            stacklevel=1,
+        )
+
+
+_raise_vm_max_map_count()
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
