@@ -118,15 +118,20 @@ def test_distributed_bo_rejects_bad_layout(key):
         )
 
 
-def test_distributed_bo_rejects_y_warp(key):
-    """Code-review regression: the distributed fit lane models raw y, so
-    y_warp must be rejected up front instead of silently disagreeing with
-    the auto-routed dense lane about the model space."""
+def test_distributed_bo_supports_y_warp(key):
+    """y_warp on the distributed product path (model-space rule,
+    docs/DESIGN.md §7b): both routing branches now model warp_y(y) and the
+    EI incumbent is warped at the same choke point, so a bilog config runs
+    — and still optimizes — on the forced-distributed route (this replaced
+    the earlier up-front rejection, which existed because the distributed
+    fit lane used to standardize raw y)."""
     mesh = PAR.make_mesh(8, axis="rows")
-    bo = BOConfig(n_init=16, max_evals=24, batch_size=8, acq="ei",
-                  n_candidates=64)
-    with pytest.raises(ValueError, match="y_warp"):
-        run_bo_distributed(
-            key, _quad, [0.0] * 3, [1.0] * 3,
-            bo, dataclasses.replace(CFG, y_warp="bilog"), mesh,
-        )
+    bo = BOConfig(n_init=16, max_evals=48, batch_size=8, acq="ei",
+                  n_candidates=128)
+    res = run_bo_distributed(
+        key, lambda x: 50.0 * _quad(x) + 1.0, [0.0] * 3, [1.0] * 3,
+        bo, dataclasses.replace(CFG, y_warp="bilog"), mesh, budget_bytes=1,
+    )
+    trace = np.asarray(res.incumbent_trace)
+    assert np.isfinite(trace).all() and np.all(np.diff(trace) <= 1e-6)
+    assert float(res.best_y) < 50.0 * 0.1 + 1.0  # EI refined well past LHS

@@ -408,3 +408,34 @@ def test_fit_gp_auto_dense_adapter_mll_respects_y_warp(rng):
     y_std, _, _ = T.standardize(T.warp_y(y, "bilog"), mask)
     expect = float(G.mll(g.state.raw, x, y_std, mask, config))
     np.testing.assert_allclose(float(g.mll()), expect, rtol=1e-6)
+
+
+def test_refactor_gp_auto_y_warp_consistent_across_routes(rng):
+    """The model-space rule (docs/DESIGN.md §7b) must hold on BOTH sides of
+    the auto-routing threshold: with y_warp set and the SAME pinned hypers,
+    the distributed factor refresh and the dense one predict the same
+    (warped-space) posterior — previously the distributed branch silently
+    standardized RAW y, so a bilog config changed model semantics exactly
+    when N crossed the memory threshold."""
+    import dataclasses
+
+    from turbojax import gp as G
+    from turbojax.config import GPConfig
+
+    n, d = 64, 3
+    x = jnp.asarray(rng.rand(n, d))
+    y = jnp.asarray(40.0 * np.abs(np.sin(3 * rng.rand(n))) + 2.0)
+    xs = jnp.asarray(rng.rand(7, d))
+    mesh = PAR.make_mesh(8, axis="rows")
+    config = dataclasses.replace(GPConfig(), y_warp="bilog")
+    raw = G.default_params(d, config, x.dtype)
+
+    dense = DL.refactor_gp_auto(x, y, raw, config, mesh=None)
+    assert isinstance(dense, DL._DenseGPAdapter)
+    dist = DL.refactor_gp_auto(x, y, raw, config, mesh, panel=8, budget_bytes=1)
+    assert isinstance(dist, DL.DistributedGP)
+
+    mu_dense, var_dense = dense.posterior(xs)
+    mu_dist, var_dist = dist.posterior(xs)
+    np.testing.assert_allclose(np.asarray(mu_dist), np.asarray(mu_dense), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_dist), np.asarray(var_dense), rtol=1e-5)

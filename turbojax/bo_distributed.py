@@ -11,6 +11,9 @@ Acquisition is EI or LCB over a fresh candidate set against the
 training axis sharded. Joint Thompson sampling needs the candidate
 covariance, which the distributed posterior deliberately does not form;
 use EI/LCB here (the reference's plain BO configs do [B:7, B:8]).
+``GPConfig.y_warp`` is honored: both routing branches model ``warp_y(y)``
+and the EI incumbent is warped at the same choke point (docs/DESIGN.md
+§7b), so crossing the memory threshold never changes model semantics.
 
 Layout constraints of the unmasked row-sharded history: ``n_init`` and
 ``batch_size`` must be multiples of the mesh size so every history length
@@ -83,13 +86,6 @@ def run_bo_distributed(
             "need the dense candidate covariance the distributed posterior "
             "deliberately avoids)"
         )
-    if config.y_warp not in (None, "none"):
-        raise ValueError(
-            "run_bo_distributed does not support GPConfig.y_warp: the "
-            "distributed fit lane models raw y (see config.py), so the "
-            "auto-routed dense/distributed surrogates would disagree about "
-            "the model space and the EI incumbent"
-        )
     n_dev = mesh.devices.size if mesh is not None else 1
     if bo.n_init % n_dev or bo.batch_size % n_dev:
         raise ValueError(
@@ -142,7 +138,10 @@ def run_bo_distributed(
             cands = jnp.concatenate([cands, jnp.clip(loc, 0.0, 1.0)], axis=0)
 
         mu, var = g.posterior(cands)
-        best = jnp.min(y_hist)
+        # model-space rule (docs/DESIGN.md §7b): the surrogate predicts
+        # warp_y(y) on both routing branches, so the EI incumbent must be
+        # warped at the same choke point (monotone warp commutes with min)
+        best = T.warp_y(jnp.min(y_hist), config.y_warp)
         if bo.acq == "ei":
             scores = -A.expected_improvement(mu, var, best, bo.xi)
         else:

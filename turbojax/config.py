@@ -82,8 +82,8 @@ class GPConfig:
     y_warp: str = "none"  # "bilog": model w = sign(y)·log1p(|y|) instead of
     # y (transforms.warp_y) — a flagged extension beyond the reference for
     # heavy-tailed objectives; monotone, so all ranking consumers stay
-    # order-consistent. Raw-space TR success logic is unaffected. Dense
-    # lane only (the distributed GP standardizes its own y and ignores it).
+    # order-consistent. Raw-space TR success logic is unaffected. Honored
+    # on both fit_gp_auto routing branches (docs/DESIGN.md §7b).
 
 
 @dataclasses.dataclass(frozen=True)

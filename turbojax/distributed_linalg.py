@@ -560,6 +560,10 @@ def fit_distributed_gp(
 
     n, d = x.shape
     steps = steps or config.fit_maxiter
+    # model-space rule (docs/DESIGN.md §7b): the GP models warp_y(y), same
+    # as the dense lane — posterior()/mll() then return model-space values
+    # on BOTH sides of the fit_gp_auto routing threshold
+    y = T.warp_y(y, config.y_warp)
     y_mean = jnp.mean(y)
     y_sd = jnp.maximum(jnp.std(y), jnp.asarray(1e-8, y.dtype))
     y_std = (y - y_mean) / y_sd
@@ -761,6 +765,7 @@ def refactor_gp_auto(
     n = x.shape[0]
     if should_distribute(n, mesh, x.dtype, budget_bytes):
         params = G.constrain_params(raw, config)
+        y = T.warp_y(y, config.y_warp)  # model-space rule, as fit_distributed_gp
         y_mean = jnp.mean(y)
         y_sd = jnp.maximum(jnp.std(y), jnp.asarray(1e-8, y.dtype))
         dgp = DistributedGP(mesh, kernel=config.kernel, panel=panel,
