@@ -12,9 +12,10 @@ They only run in the TPU lane:
     TURBOJAX_TPU_TESTS=1 python -m pytest tests/test_perf_gate.py -q
 
 (the default CPU-backend suite skips them — the contract is TPU vs CPU).
-The refit gate uses a reduced-but-matched budget (1 restart, 15 L-BFGS
-iters in BOTH lanes) so the gate finishes in ~1 min; the full 4-restart/30-
-iter numbers live in benchmarks/bench_iteration.py -> BENCH_components.json.
+The refit gate uses a reduced-but-matched budget (4 restarts, 15 L-BFGS
+iters in BOTH lanes; see the in-test note on why the restart axis must not
+be reduced to 1); the full 4-restart/30-iter numbers live in
+benchmarks/bench_iteration.py -> BENCH_components.json.
 """
 
 import os
@@ -57,8 +58,17 @@ def test_fixed_hyper_iteration_speedup_vs_oracle():
 
 def test_refit_iteration_speedup_vs_oracle():
     """Iteration including the MLL hyperparameter fit (L-BFGS in both lanes,
-    1 restart x 15 iters to bound gate runtime; same optimizer family, same
-    kernel, same data)."""
+    4 restarts x 15 iters — MATCHED restart budget; same optimizer family,
+    same kernel, same data).
+
+    Why 4 restarts: the TPU lane vmaps the restart axis (its marginal cost
+    is ~zero — the design's actual claim [B:5]) while the oracle pays
+    linearly, so a 1-restart gate erases the vmap advantage and sat right
+    at the 10x line: measured 2026-08-19, same code, back-to-back runs
+    swung 29.1x -> 9.2x purely on oracle-lane wall variance (oracle 124 s
+    vs 39 s, TPU stable at 4.27 s) and flaked the gate. The reference
+    practice this mirrors is multi-restart fitting (SURVEY.md C8), so the
+    matched 4-restart budget is the honest comparison, not a handicap."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -76,7 +86,7 @@ def test_refit_iteration_speedup_vs_oracle():
     cands = rng.rand(n_cand, d)
 
     config = GPConfig(
-        kernel="matern52", fit_optimizer="lbfgs", fit_maxiter=15, fit_restarts=1
+        kernel="matern52", fit_optimizer="lbfgs", fit_maxiter=15, fit_restarts=4
     )
     x_buf = jnp.zeros((n_max, d), jnp.float32).at[:n].set(jnp.asarray(x, jnp.float32))
     y_buf = jnp.zeros((n_max,), jnp.float32).at[:n].set(jnp.asarray(y, jnp.float32))
@@ -95,14 +105,20 @@ def test_refit_iteration_speedup_vs_oracle():
     key = jax.random.key(0)
     out = iteration(key, x_buf, y_buf, cands_j)  # compile
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(2):
+    # per-rep blocking, median of 3: a single trailing block_until_ready
+    # once measured 0.6 ms for a fit that takes ~1 s per-rep-blocked
+    # (axon async-dispatch artifact, 2026-08-19) — never trust one
+    # unsynchronized loop for a gate
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
         out = iteration(jax.random.fold_in(key, i), x_buf, y_buf, cands_j)
-    jax.block_until_ready(out)
-    t_tpu = (time.perf_counter() - t0) / 2
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    t_tpu = sorted(times)[1]
 
     t0 = time.perf_counter()
-    params, _, _ = onp.fit_mll_lbfgs(x, y, "matern52", n_restarts=1, maxiter=15)
+    params, _, _ = onp.fit_mll_lbfgs(x, y, "matern52", n_restarts=4, maxiter=15)
     gp = onp.NumpyGP(
         "matern52", params["lengthscale"], params["outputscale"], params["noise"]
     ).fit(x, (y - y.mean()) / y.std())
@@ -115,7 +131,7 @@ def test_refit_iteration_speedup_vs_oracle():
         rng.randn(q, 1000) @ lc.T
     t_cpu = time.perf_counter() - t0
 
-    _record("refit_iteration_lbfgs15", tpu_s=t_tpu, cpu_s=t_cpu, speedup=t_cpu / t_tpu)
+    _record("refit_iteration_lbfgs15x4", tpu_s=t_tpu, cpu_s=t_cpu, speedup=t_cpu / t_tpu)
     assert t_cpu / t_tpu >= TARGET, (
         f"with-refit BO iteration speedup {t_cpu / t_tpu:.1f}x < {TARGET}x "
         f"(TPU {t_tpu:.2f} s vs CPU oracle {t_cpu:.2f} s)"

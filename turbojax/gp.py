@@ -204,11 +204,27 @@ def mll(raw: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GPConfig
 
 
 def _fit_one(raw0: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GPConfig) -> Tuple[GPParams, Array]:
-    """One optimizer run from one init; returns (params, final −mll/n)."""
+    """One optimizer run from one init; returns (params, final −mll/n).
+
+    The whole fit computes in the BUFFER dtype: under ``jax_enable_x64``,
+    optax's zoom-linesearch step-size scalars are strong float64, which
+    silently promoted the evaluation point — and with it every kernel
+    build and Cholesky — to (TPU-emulated) f64 on f32 buffers: measured
+    28.7 s vs ~1 s per refit iteration on hardware (2026-08-19). Casting
+    the loss input pins the heavy path; it is a no-op in plain-f32
+    processes and on the deliberate f64 parity lane (f64 buffers)."""
     n_act = jnp.maximum(jnp.sum(mask).astype(y_std.dtype), 1.0)
+    buf_dtype = y_std.dtype
+
+    def _pin(raw: GPParams) -> GPParams:
+        return jax.tree.map(lambda a: jnp.asarray(a, buf_dtype), raw)
+
+    raw0 = _pin(raw0)
 
     def loss(raw: GPParams) -> Array:
-        return -mll(raw, x_buf, y_std, mask, config) / n_act
+        # _pin here, not only on raw0: the promotion happens INSIDE the
+        # optimizer (f64 step size × f32 direction → f64 evaluation point)
+        return -mll(_pin(raw), x_buf, y_std, mask, config) / n_act
 
     if config.fit_optimizer == "adam":
         opt = optax.adam(config.fit_lr)
@@ -295,7 +311,7 @@ def _fit_one(raw0: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GP
 
     init = (raw0, opt.init(raw0), jnp.asarray(0), jnp.asarray(jnp.inf, y_std.dtype))
     raw_fin, _, _, _ = lax.while_loop(cond, body, init)
-    return raw_fin, loss(raw_fin)
+    return _pin(raw_fin), loss(raw_fin)
 
 
 def grid_params(dim: int, config: GPConfig, dtype=jnp.float32) -> GPParams:
