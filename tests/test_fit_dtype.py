@@ -45,7 +45,7 @@ def _f32_problem(n=40, d=3, n_max=64):
     return x_buf, y_buf, mask
 
 
-@pytest.mark.parametrize("optimizer", ["lbfgs", "adam"])
+@pytest.mark.parametrize("optimizer", ["lbfgs", "adam", "grid+adam"])
 def test_fit_has_no_wide_f64_under_x64(optimizer):
     """f32 buffers + x64 mode: the lowered fit contains no wide f64 tensor.
 
