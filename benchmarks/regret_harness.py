@@ -26,7 +26,7 @@ import numpy as np
 
 
 def run_config(name: str, seed: int, max_evals: int | None = None, m: int | None = None,
-               n_candidates: int | None = None):
+               n_candidates: int | None = None, n_init: int | None = None):
     import dataclasses
 
     import jax
@@ -50,6 +50,16 @@ def run_config(name: str, seed: int, max_evals: int | None = None, m: int | None
         if cfg.turbo is not None:
             cfg = dataclasses.replace(
                 cfg, turbo=dataclasses.replace(cfg.turbo, n_candidates=n_candidates)
+            )
+    if n_init is not None:  # golden lane: shrink the init design so the
+        # reduced-budget curve is SEARCH-dominated (fits + TS allocation),
+        # not just the algorithm-independent init stream — keep it a
+        # multiple of batch_size (the init stream force-selects q per batch)
+        if cfg.bo is not None:
+            cfg = dataclasses.replace(cfg, bo=dataclasses.replace(cfg.bo, n_init=n_init))
+        if cfg.turbo is not None:
+            cfg = dataclasses.replace(
+                cfg, turbo=dataclasses.replace(cfg.turbo, n_init=n_init)
             )
     b = B.get_benchmark(cfg.benchmark)
     key = jax.random.key(seed)

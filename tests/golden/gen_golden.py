@@ -32,9 +32,14 @@ RUNS = {
         config="hartmann6_lbfgs", max_evals=27, seed=0, n_candidates=256
     ),
     # config-5 family: a TuRBO-m trace (m=2, reduced candidates) — covers
-    # vmapped per-TR fits + global TS allocation + init-stream restarts
+    # vmapped per-TR fits + global TS allocation + init-stream restarts.
+    # n_init=20 (vs the registered 40): at the reduced 120-eval budget the
+    # full init design left only 4 search batches and the incumbent never
+    # moved post-init, so the golden pinned nothing about the fit/TS path —
+    # 40 init + 80 search evals makes the curve search-dominated.
     "turbom5_rover60": dict(
-        config="turbom5_rover60", max_evals=120, seed=0, m=2, n_candidates=256
+        config="turbom5_rover60", max_evals=120, seed=0, m=2, n_candidates=256,
+        n_init=20,
     ),
 }
 
@@ -46,6 +51,7 @@ def main():
         rec = run_config(
             spec["config"], spec["seed"], spec["max_evals"],
             m=spec.get("m"), n_candidates=spec.get("n_candidates"),
+            n_init=spec.get("n_init"),
         )
         out = {
             "config": spec["config"],
@@ -53,6 +59,7 @@ def main():
             "max_evals": spec["max_evals"],
             "m": spec.get("m"),
             "n_candidates": spec.get("n_candidates"),
+            "n_init": spec.get("n_init"),
             "regret_curve": rec["regret_curve"],
             "final_regret": rec["simple_regret"],
         }

@@ -104,6 +104,28 @@ def test_distributed_bo_fixed_hypers_still_learns(key):
     assert float(res.best_y) < float(res.y_hist[:8].min())
 
 
+def test_distributed_bo_fit_every_zero_never_fits(key, monkeypatch):
+    """Regression (round-3 review): fit_every=0 means NEVER fit on the dense
+    route (bo.py '0 = never refit'); the distributed route used to sneak one
+    full MLL fit in at iteration 0 via its `g is None` bootstrap, so the
+    same optimize(fit_every=0) call changed surrogate semantics when mesh=
+    was passed. Pin it: the loop must complete without ever calling
+    fit_gp_auto."""
+    import turbojax.bo_distributed as BD
+
+    def _boom(*a, **k):
+        raise AssertionError("fit_gp_auto called despite fit_every=0")
+
+    monkeypatch.setattr(BD, "fit_gp_auto", _boom)
+    mesh = PAR.make_mesh(4, axis="rows")
+    bo = BOConfig(n_init=8, max_evals=24, batch_size=4, acq="ei",
+                  n_candidates=128, fit_every=0)
+    res = run_bo_distributed(
+        key, _quad, [0.0] * 3, [1.0] * 3, bo, CFG, mesh, budget_bytes=1
+    )
+    assert np.isfinite(np.asarray(res.incumbent_trace)).all()
+
+
 def test_distributed_bo_rejects_bad_layout(key):
     mesh = PAR.make_mesh(8, axis="rows")
     with pytest.raises(ValueError, match="multiples of the mesh size"):

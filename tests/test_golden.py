@@ -31,6 +31,7 @@ def test_golden_regret(name):
     rec = run_config(
         golden["config"], golden["seed"], golden["max_evals"],
         m=golden.get("m"), n_candidates=golden.get("n_candidates"),
+        n_init=golden.get("n_init"),
     )
     curve = np.asarray(rec["regret_curve"])
     gold = np.asarray(golden["regret_curve"])

@@ -152,6 +152,29 @@ def test_global_allocate_cap_spreads_batch(key):
         global_allocate(vals, cap=1)  # 1 * 3 < q=6: cannot cover the batch
 
 
+def test_global_allocate_cap_survives_degenerate_tr():
+    """Regression (round-3 review): cap + an all-NaN TR must not silently
+    credit duplicate (0, 0) picks past the cap. Once the healthy TR hits
+    its cap, the overflow spreads to the degenerate TR's UNTAKEN candidates
+    (NaN draws rank worst but stay selectable), so the per-batch cap — and
+    with it the n_init + n_iters·cap history bound — holds."""
+    m, q, n_cand, cap = 2, 6, 8, 3
+    row = jax.random.uniform(jax.random.key(7), (n_cand,))
+    vals = jnp.stack([
+        jnp.tile(row, (q, 1)),           # TR 0: same draw row every slot
+        jnp.full((q, n_cand), jnp.nan),  # TR 1 degenerate: every draw NaN
+    ])
+    tr_idx, cand_idx = global_allocate(vals, cap=cap)
+    counts = np.bincount(np.asarray(tr_idx), minlength=m)
+    assert counts.max() <= cap, f"cap violated: {counts}"
+    assert counts.sum() == q
+    pairs = list(zip(np.asarray(tr_idx).tolist(), np.asarray(cand_idx).tolist()))
+    assert len(set(pairs)) == q, f"duplicate picks: {pairs}"
+    # the healthy TR's cap slots go to its true best candidates
+    order = np.argsort(np.asarray(row))[:cap]
+    assert {c for t, c in pairs if t == 0} == set(order.tolist())
+
+
 def test_turbo1_fit_every_cadence():
     """TurboConfig.fit_every is honored by the jitted loops (it was
     previously ask/tell-only): with fit_every=k the hypers refit on every

@@ -72,6 +72,7 @@ def run_bo_distributed(
     mesh: Optional[Mesh] = None,
     budget_bytes: int = DENSE_BUDGET_BYTES,
     on_iteration=None,
+    fixed_params=None,
 ) -> BigBOResult:
     """BO loop with auto dense/distributed surrogate routing over ``mesh``.
 
@@ -112,7 +113,26 @@ def run_bo_distributed(
         k_fit, k_cand, k_loc, k_loop = jax.random.split(k_loop, 4)
         n = x_hist.shape[0]
         panel = _auto_panel(max(n // n_dev, 1))
-        if g is None or (bo.fit_every and it % bo.fit_every == 0):
+        if bo.fit_every == 0:
+            # dense run_bo semantics (bo.py:304): 0 = NEVER fit — pin the
+            # given fixed_params (or the reference defaults) and only
+            # refresh the factorization as the history grows. Routing via
+            # `g is None` here used to sneak one full MLL fit in at it=0,
+            # so the same optimize(fit_every=0) call changed surrogate
+            # semantics when mesh= was passed.
+            if warm is None:
+                from turbojax import gp as G
+
+                warm = (
+                    fixed_params
+                    if fixed_params is not None
+                    else G.default_params(dim, config, jnp.float32)
+                )
+            g = refactor_gp_auto(
+                x_hist, y_hist, warm, config, mesh, panel=panel,
+                budget_bytes=budget_bytes,
+            )
+        elif g is None or it % bo.fit_every == 0:
             g = fit_gp_auto(
                 k_fit, x_hist, y_hist, config, mesh, panel=panel,
                 budget_bytes=budget_bytes, warm_start=warm,

@@ -562,11 +562,13 @@ def fit_distributed_gp(
     steps = steps or config.fit_maxiter
     # model-space rule (docs/DESIGN.md §7b): the GP models warp_y(y), same
     # as the dense lane — posterior()/mll() then return model-space values
-    # on BOTH sides of the fit_gp_auto routing threshold
-    y = T.warp_y(y, config.y_warp)
-    y_mean = jnp.mean(y)
-    y_sd = jnp.maximum(jnp.std(y), jnp.asarray(1e-8, y.dtype))
-    y_std = (y - y_mean) / y_sd
+    # on BOTH sides of the fit_gp_auto routing threshold. The fit runs on
+    # the warped+standardized targets; the returned object is assembled by
+    # the shared _assemble_distributed_gp (the rule's single home).
+    y_w = T.warp_y(y, config.y_warp)
+    y_mean = jnp.mean(y_w)
+    y_sd = jnp.maximum(jnp.std(y_w), jnp.asarray(1e-8, y_w.dtype))
+    y_std = (y_w - y_mean) / y_sd
 
     raw0 = warm_start if warm_start is not None else G.default_params(d, config, x.dtype)
     if warm_start is not None and not all(
@@ -574,16 +576,7 @@ def fit_distributed_gp(
     ):
         raw0 = G.default_params(d, config, x.dtype)  # sanitize like gp.fit_gp
     raw_fin, _ = _fit_distributed_raw(raw0, x, y_std, mesh, config, panel, steps)
-    params = G.constrain_params(raw_fin, config)
-
-    dgp = DistributedGP(mesh, kernel=config.kernel, panel=panel, jitter=config.jitter)
-    dgp.fit(
-        x, y_std, params["lengthscale"], params["outputscale"], params["noise"],
-        mean=params["mean"],
-    )
-    dgp.y_mean, dgp.y_sd = y_mean, y_sd
-    dgp.raw = raw_fin
-    return dgp
+    return _assemble_distributed_gp(x, y, raw_fin, config, mesh, panel)
 
 
 # --------------------------------------------------------------------------
@@ -710,6 +703,41 @@ class _DenseGPAdapter:
                      self.state.mask, self.config)
 
 
+def _assemble_distributed_gp(x, y, raw, config: GPConfig, mesh, panel: int):
+    """Construct a ``DistributedGP`` at pinned hypers ``raw`` over the raw
+    (un-warped) targets ``y`` — the single home of the model-space rule
+    (docs/DESIGN.md §7b: warp_y → standardize → factorize → record
+    ``y_mean/y_sd/raw``). Both ``fit_distributed_gp`` and
+    ``refactor_gp_auto`` end here, so the fit and refactor-only routes can
+    never disagree on the convention."""
+    from turbojax import gp as G
+    from turbojax import transforms as T
+
+    params = G.constrain_params(raw, config)
+    y = T.warp_y(y, config.y_warp)
+    y_mean = jnp.mean(y)
+    y_sd = jnp.maximum(jnp.std(y), jnp.asarray(1e-8, y.dtype))
+    dgp = DistributedGP(mesh, kernel=config.kernel, panel=panel,
+                        jitter=config.jitter)
+    dgp.fit(
+        x, (y - y_mean) / y_sd, params["lengthscale"], params["outputscale"],
+        params["noise"], mean=params["mean"],
+    )
+    dgp.y_mean, dgp.y_sd = y_mean, y_sd
+    dgp.raw = raw
+    return dgp
+
+
+def _adapt_dense(state, y, mask, config: GPConfig):
+    """Dense twin of ``_assemble_distributed_gp``: wrap a fitted/refactored
+    dense ``GPState`` in the auto-routing adapter surface, scoring the same
+    (warped, standardized) targets on ``.mll()``."""
+    from turbojax import transforms as T
+
+    y_std_buf, _, _ = T.standardize(T.warp_y(y, config.y_warp), mask)
+    return _DenseGPAdapter(state, config, y_std_buf)
+
+
 def fit_gp_auto(
     key: Array,
     x: Array,
@@ -735,10 +763,7 @@ def fit_gp_auto(
         return fit_distributed_gp(x, y, mesh, config, panel, warm_start=warm_start)
     mask = L.row_mask(n, jnp.asarray(n))
     state = G.fit_gp(key, x, y, mask, config, warm_start=warm_start)
-    # the dense state models warped targets when config.y_warp is set, so
-    # .mll() must score the same (warped, standardized) targets
-    y_std_buf, _, _ = T.standardize(T.warp_y(y, config.y_warp), mask)
-    return _DenseGPAdapter(state, config, y_std_buf)
+    return _adapt_dense(state, y, mask, config)
 
 
 def refactor_gp_auto(
@@ -764,20 +789,7 @@ def refactor_gp_auto(
 
     n = x.shape[0]
     if should_distribute(n, mesh, x.dtype, budget_bytes):
-        params = G.constrain_params(raw, config)
-        y = T.warp_y(y, config.y_warp)  # model-space rule, as fit_distributed_gp
-        y_mean = jnp.mean(y)
-        y_sd = jnp.maximum(jnp.std(y), jnp.asarray(1e-8, y.dtype))
-        dgp = DistributedGP(mesh, kernel=config.kernel, panel=panel,
-                            jitter=config.jitter)
-        dgp.fit(
-            x, (y - y_mean) / y_sd, params["lengthscale"],
-            params["outputscale"], params["noise"], mean=params["mean"],
-        )
-        dgp.y_mean, dgp.y_sd = y_mean, y_sd
-        dgp.raw = raw
-        return dgp
+        return _assemble_distributed_gp(x, y, raw, config, mesh, panel)
     mask = L.row_mask(n, jnp.asarray(n))
     state = G.make_gp_state(x, y, mask, raw, config)
-    y_std_buf, _, _ = T.standardize(T.warp_y(y, config.y_warp), mask)
-    return _DenseGPAdapter(state, config, y_std_buf)
+    return _adapt_dense(state, y, mask, config)

@@ -182,13 +182,26 @@ def global_allocate(ts_values: Array, cap: Optional[int] = None) -> Tuple[Array,
 
     def step(carry, row):
         taken, counts = carry
-        # NaN-proof like acq.select_q_batch: a degenerate TR's draws must
-        # never win the allocation (the +inf init-phase placeholders are
-        # equally excluded here — argmin never picked them anyway)
-        blocked = taken | ~jnp.isfinite(row)
+        # NaN-proof like acq.select_q_batch: a degenerate TR's draws rank
+        # WORST (finite sentinel at big/2), so they only win a slot once
+        # every finite candidate is taken or cap-blocked. Ranking them
+        # last instead of hard-blocking matters when cap is set and some
+        # TR's draws are all-NaN/+inf: hard-blocking made every entry
+        # blocked once the healthy TRs hit their caps, and argmin over the
+        # all-`big` row silently credited pair (0, 0) past TR 0's cap with
+        # duplicate picks — breaking the n_init + n_iters·cap history
+        # bound the cap exists to guarantee. With the sentinel, overflow
+        # slots spread to the degenerate TRs' untaken candidates: picks
+        # stay distinct and the cap invariant holds.
+        blocked = taken
         if cap is not None:
             blocked = blocked | (counts >= cap)[tr_of]
-        masked = jnp.where(blocked, big, row)
+        # last-resort tier (q > untaken-and-uncapped entries, e.g.
+        # pathological cap < q/m configs): relax the cap, never duplicate
+        # an untaken slot
+        blocked = jnp.where(jnp.all(blocked), taken, blocked)
+        ranked = jnp.where(jnp.isfinite(row), row, big * 0.5)
+        masked = jnp.where(blocked, big, ranked)
         idx = jnp.argmin(masked)
         counts = counts.at[idx // n_cand].add(1)
         return (taken.at[idx].set(True), counts), idx
