@@ -17,7 +17,9 @@ def test_round_trip_carry(tmp_path, key):
     gcfg = GPConfig(fit_restarts=2, fit_maxiter=5)
     carry = make_turbo_carry(key, 3, 12, cfg, gcfg)
     carry = carry._replace(
-        y_buf=carry.y_buf.at[:4].set(jnp.asarray([1.0, 2.0, 3.0, 4.0])),
+        y_buf=carry.y_buf.at[:4].set(
+            jnp.asarray([1.0, 2.0, 3.0, 4.0], dtype=carry.y_buf.dtype)
+        ),
         n=jnp.asarray(4),
     )
     path = str(tmp_path / "ck.npz")
