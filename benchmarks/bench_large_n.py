@@ -92,6 +92,12 @@ def bench_n(n: int, d: int, n_cand: int, q: int, reps: int):
     post = jax.jit(lambda s, c: G.gp_posterior(s, c, config, chunk_size=1000))
     try_timed(row, "posterior_5k", lambda: post(state, cands), reps)
 
+    # chunk_size=None: gp_posterior auto-chunks once the cross-matrix
+    # exceeds _POSTERIOR_AUTO_CHUNK_BYTES (the unchunked 16384x5000 program
+    # OOMed pre-fix; this lane proves the default-arg path stays in-HBM)
+    post_auto = jax.jit(lambda s, c: G.gp_posterior(s, c, config, chunk_size=None))
+    try_timed(row, "posterior_5k_auto", lambda: post_auto(state, cands), reps)
+
     ts_sel = jax.jit(
         lambda k, s, c: A.thompson_select(k, s, c, q, config, chunk_size=1000)
     )

@@ -344,3 +344,31 @@ def test_grid_polish_both_never_loses_mll(rng, key):
     assert m_dual >= m_single - 1e-5
     for leaf in jax.tree.leaves(s_dual.raw):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_grid_fit_map_lane_equals_vmap(rng, key, monkeypatch):
+    """Memory-aware grid fit: above _GRID_VMAP_BUDGET_BYTES the grid rows
+    evaluate as sequential lax.map lanes instead of one vmap (measured HBM
+    boundary at N=16384, BASELINE.md large-N section). Same argmax, same
+    fitted hypers."""
+    x, y, x_buf, y_buf, mask = _problem(rng, n=40, d=3, n_max=48)
+    cfg = GPConfig(fit_optimizer="grid")
+    s_vmap = G.fit_gp(key, x_buf, y_buf, mask, cfg)
+    monkeypatch.setattr(G, "_GRID_VMAP_BUDGET_BYTES", 0)
+    s_map = G.fit_gp(key, x_buf, y_buf, mask, cfg)
+    for a, b in zip(jax.tree.leaves(s_vmap.raw), jax.tree.leaves(s_map.raw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_posterior_auto_chunk_matches_unchunked(rng, monkeypatch):
+    """chunk_size=None auto-chunks once the cross-matrix exceeds the
+    measured HBM boundary; per-candidate results are unchanged."""
+    x, y, x_buf, y_buf, mask = _problem(rng, n=25, d=2, n_max=32)
+    raw = _raw(2, 0.5, 1.0, 1e-3)
+    state = G.make_gp_state(x_buf, y_buf, mask, raw, CFG)
+    xs = jnp.asarray(rng.rand(40, 2))  # auto-chunk picks 20 (largest proper divisor)
+    mu1, var1 = G.gp_posterior(state, xs, CFG)
+    monkeypatch.setattr(G, "_POSTERIOR_AUTO_CHUNK_BYTES", 0)
+    mu2, var2 = G.gp_posterior(state, xs, CFG)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), rtol=1e-10)

@@ -40,6 +40,20 @@ Array = jax.Array
 
 _LOG_2PI = 1.8378770664093453
 
+# Measured single-chip HBM boundaries (BASELINE.md "Round-3 large-N
+# single-chip scaling"; benchmarks/bench_large_n.py, TPU v5 lite 15.75 GiB):
+#  * the 15-way vmapped grid-fit MLL requested 47.42 GiB at N=16384
+#    (~3·N²·itemsize per lane) while the N=8192 vmap (~11.9 GiB) ran fine —
+#    above this budget the grid rows evaluate as sequential lax.map lanes
+#    (same argmax, O(one lane) memory, ~15 sequential Cholesky's).
+_GRID_VMAP_BUDGET_BYTES = 12 << 30
+#  * the UNCHUNKED 5000-candidate posterior OOMed at N=16384 (XLA
+#    materialized ≈20.9 GiB of (N, m) temps from a 327 MiB cross-matrix);
+#    N=2048×5000 (41 MiB) is the largest unchunked program in the benches.
+#    Above this cross-matrix size, gp_posterior auto-chunks the candidate
+#    axis when the caller didn't pick a chunk.
+_POSTERIOR_AUTO_CHUNK_BYTES = 128 << 20
+
 
 class GPParams(NamedTuple):
     """Unconstrained (raw) hyperparameters; constrain via ``constrain_params``."""
@@ -374,7 +388,13 @@ def _fit_gp_grid(
             lambda w, d0: jnp.where(warm_ok, w, d0), warm_start, defaults
         )
         inits = jax.tree.map(lambda g, w: jnp.concatenate([g, w[None]], axis=0), inits, warm)
-    mlls = jax.vmap(lambda r: mll(r, x_buf, y_std_buf, mask, config))(inits)
+    n_rows = jax.tree.leaves(inits)[0].shape[0]
+    n_cap = x_buf.shape[0]
+    lane_bytes = 3 * n_cap * n_cap * jnp.dtype(y_buf.dtype).itemsize
+    if n_rows * lane_bytes > _GRID_VMAP_BUDGET_BYTES:
+        mlls = lax.map(lambda r: mll(r, x_buf, y_std_buf, mask, config), inits)
+    else:
+        mlls = jax.vmap(lambda r: mll(r, x_buf, y_std_buf, mask, config))(inits)
     mlls = jnp.where(jnp.isfinite(mlls), mlls, -jnp.inf)
     best = jnp.argmax(mlls)
     raw_best = jax.tree.map(lambda a: a[best], inits)
@@ -537,8 +557,20 @@ def gp_posterior(
     candidate axis when ``chunk_size`` divides it, bounding the live
     (N_max × chunk) working set. Returns original-y units unless
     ``standardized``.
+
+    With ``chunk_size=None`` a chunk is auto-picked (largest divisor of m
+    ≤ 1024) once the cross-matrix exceeds ``_POSTERIOR_AUTO_CHUNK_BYTES``:
+    the unchunked program OOMs a 16 GiB chip at N=16384 × m=5000 (measured,
+    BASELINE.md large-N section) — per-candidate results are unchanged
+    (each candidate's μ/σ² reduces over its own column only).
     """
     m = xs.shape[0]
+    if chunk_size is None:
+        cross_bytes = state.x_buf.shape[0] * m * jnp.dtype(xs.dtype).itemsize
+        if cross_bytes > _POSTERIOR_AUTO_CHUNK_BYTES:
+            divs = [c for c in range(2, min(m - 1, 1024) + 1) if m % c == 0]
+            if divs:
+                chunk_size = divs[-1]
     if chunk_size is not None and m > chunk_size and m % chunk_size == 0:
         xs_c = xs.reshape(m // chunk_size, chunk_size, xs.shape[-1])
         mu_s, var_s = lax.map(lambda c: _posterior_chunk(state, c, config, include_noise), xs_c)
