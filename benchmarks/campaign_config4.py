@@ -41,6 +41,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="base",
                     choices=["base", "f64ts", "ard", "ard_f64ts"])
+    ap.add_argument("--ts-sampler", default=None,
+                    choices=["exact", "rff", "pathwise"],
+                    help="override TurboConfig.ts_sampler (pathwise = "
+                         "decoupled Matheron sampler, acq.pathwise_paths)")
     ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--seed-start", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -62,6 +66,10 @@ def main():
 
     enable_persistent_cache()
     cfg = apply_variant(get_config("turbo1_ackley10"), args.variant)
+    if args.ts_sampler is not None:
+        cfg = dataclasses.replace(
+            cfg, turbo=dataclasses.replace(cfg.turbo, ts_sampler=args.ts_sampler)
+        )
     if args.max_evals:
         cfg = dataclasses.replace(
             cfg, turbo=dataclasses.replace(cfg.turbo, max_evals=args.max_evals)

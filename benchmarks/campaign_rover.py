@@ -97,6 +97,11 @@ def main():
                     help="disable the split-capacity fit (docs/DESIGN.md "
                          "§4c): every TR lane fits at the shared bucket "
                          "capacity (the pre-split uniform program)")
+    ap.add_argument("--ts-sampler", default=None,
+                    choices=["exact", "rff", "pathwise"],
+                    help="Thompson sampler (acq module): exact chunked "
+                         "joint chol (default) | weight-space rff | "
+                         "decoupled pathwise (Matheron update)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -128,6 +133,8 @@ def main():
         turbo = dataclasses.replace(turbo, local_frac=args.local_frac)
     if args.alloc_cap is not None:
         turbo = dataclasses.replace(turbo, alloc_cap=args.alloc_cap)
+    if args.ts_sampler is not None:
+        turbo = dataclasses.replace(turbo, ts_sampler=args.ts_sampler)
     if args.fit_every is not None:
         turbo = dataclasses.replace(turbo, fit_every=args.fit_every)
     if args.fail_tol is not None or args.succ_tol is not None:

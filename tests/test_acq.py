@@ -313,3 +313,64 @@ def test_rff_variance_starvation_characterization(rng):
         f"error should not improve with fewer features: "
         f"M=128 {starved_small_m:+.3f} vs M=1024 {starved:+.3f}"
     )
+
+
+def test_pathwise_sample_distribution(rng, key):
+    """Decoupled pathwise draws (Matheron update) match the exact posterior
+    moments up to the O(1/√M) prior-truncation error — globally joint, no
+    chunking. 10k paths, M=4096 features."""
+    state = _state(rng)
+    xs = jnp.asarray(rng.rand(12, 2))
+    draws = np.asarray(A.pathwise_paths(key, state, xs, 10000, CFG, n_features=4096))
+    mu_ref, cov_ref = G.posterior_cov(state, xs, CFG)
+    mu_ref, cov_ref = np.asarray(mu_ref), np.asarray(cov_ref)
+    sd_ref = np.sqrt(np.diag(cov_ref))
+    np.testing.assert_allclose(
+        draws.mean(axis=0), mu_ref, atol=4 * sd_ref.max() / np.sqrt(10000) + 0.02
+    )
+    emp_cov = np.cov(draws.T)
+    # statistical tol + feature-truncation tol (prior path error only)
+    np.testing.assert_allclose(emp_cov, cov_ref, atol=0.05 * max(1e-2, sd_ref.max() ** 2) + 0.02)
+
+
+def test_pathwise_no_variance_starvation(rng):
+    """The pathwise sampler's data conditioning is EXACT (uses K through the
+    cached factor, not φφᵀ), so the noise-floor regime that starves the
+    weight-space RFF sampler (−60% path variance at σ²=1e-4, see
+    test_rff_variance_starvation_characterization) leaves pathwise draws
+    calibrated — the reason "pathwise" is safe where "rff" is not."""
+    n, n_max, m_cand, n_paths = 96, 128, 64, 4000
+    x = np.sort(rng.rand(n))[:, None]
+    y = np.sin(6 * x[:, 0])  # deterministic objective (TuRBO regime)
+    cfg = GPConfig(kernel="matern52", jitter=0.0)
+    xs = jnp.asarray(rng.rand(m_cand, 1))
+    x_buf = jnp.zeros((n_max, 1)).at[:n].set(jnp.asarray(x))
+    y_buf = jnp.zeros((n_max,)).at[:n].set(jnp.asarray(y))
+    mask = jnp.arange(n_max) < n
+    raw = G.GPParams(
+        raw_lengthscale=T.unconstrain(jnp.full((1,), 0.2), *cfg.lengthscale_bounds),
+        raw_outputscale=T.unconstrain(jnp.asarray(1.0), *cfg.outputscale_bounds),
+        raw_noise=T.unconstrain(jnp.asarray(1e-4), *cfg.noise_bounds),
+        raw_mean=jnp.asarray(0.0),
+    )
+    state = G.make_gp_state(x_buf, y_buf, mask, raw, cfg)
+    _, var_exact = G.gp_posterior(state, xs, cfg)
+    var_exact = np.asarray(var_exact)
+    paths = A.pathwise_paths(jax.random.key(0), state, xs, n_paths, cfg, 1024)
+    var_emp = np.var(np.asarray(paths), axis=0)
+    err = np.median((var_emp - var_exact) / (var_exact + 1e-12))
+    assert abs(err) < 0.2, f"pathwise should stay calibrated at the noise floor: {err:+.3f}"
+    # and the posterior-mean component is exact: path average ≈ exact mean
+    mu_exact, _ = G.gp_posterior(state, xs, cfg)
+    np.testing.assert_allclose(
+        paths.mean(axis=0), np.asarray(mu_exact),
+        atol=4 * np.sqrt(var_exact.max()) / np.sqrt(n_paths) + 0.02,
+    )
+
+
+def test_pathwise_thompson_select_shapes_and_uniqueness(rng, key):
+    state = _state(rng)
+    xs = jnp.asarray(rng.rand(64, 2))
+    pts, vals = A.pathwise_thompson_select(key, state, xs, 6, CFG, n_features=512)
+    assert pts.shape == (6, 2) and vals.shape == (6,)
+    assert np.unique(np.asarray(pts), axis=0).shape[0] == 6

@@ -317,6 +317,85 @@ def rff_paths(
     return draws_std * state.y_std + state.y_mean
 
 
+def pathwise_paths(
+    key: Array,
+    state: G.GPState,
+    xs: Array,
+    n_paths: int,
+    config: GPConfig,
+    n_features: int = 1024,
+) -> Array:
+    """Decoupled pathwise posterior sampling (Matheron's rule): globally
+    joint draws at ``xs`` with the **exact** data update,
+
+        f_post(x*) = φ(x*)ᵀw  +  k(x*, X) (K + σ²I)⁻¹ (r − φ(X)ᵀw − ε),
+
+    w ~ N(0, I_M) a weight-space *prior* path, ε ~ N(0, σ²I) (Wilson et al.
+    2020, "Efficiently Sampling Functions from Gaussian Process
+    Posteriors"). Returns (n_paths, n_cand) draws in original y units.
+
+    Why this third sampler exists (SURVEY.md C13):
+      * vs the exact chunked sampler (``thompson_samples``): one coherent
+        path across ALL candidates — no block-diagonal independence across
+        chunks — and no n_chunk × chunk² covariance factorizations: the
+        whole draw is MXU matmuls + one triangular solve against the
+        CACHED training factor.
+      * vs weight-space RFF (``rff_paths``): the data conditioning is exact
+        (uses K itself, not φφᵀ), so there is **no variance starvation** —
+        the M-feature truncation only perturbs the prior path, an O(1/√M)
+        error uniform in n (verified in
+        tests/test_acq.py::test_pathwise_no_variance_starvation).
+    """
+    kf, kw, ke = jax.random.split(key, 3)
+    p = state.params
+    dim = xs.shape[-1]
+    omega, b = rff_frequencies(kf, dim, n_features, config.kernel, xs.dtype)
+    ls = jnp.broadcast_to(p["lengthscale"], (dim,))
+
+    # prior paths at the training inputs and the candidates
+    w = jax.random.normal(kw, (n_paths, n_features), xs.dtype)
+    phi_x = _rff_phi(state.x_buf, omega, b, ls, p["outputscale"])  # (N_max, M)
+    phi_c = _rff_phi(xs, omega, b, ls, p["outputscale"])  # (n_cand, M)
+    prior_x = w @ phi_x.T  # (n_paths, N_max)
+    prior_c = w @ phi_c.T  # (n_paths, n_cand)
+    eps = jnp.sqrt(p["noise"]) * jax.random.normal(ke, (n_paths, state.mask.shape[0]), xs.dtype)
+
+    # standardized residual from the cached solve: r = L Lᵀ α
+    resid = jnp.matmul(
+        state.chol,
+        jnp.matmul(state.chol.T, state.alpha, precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # factorization path: never a plain @ (docs/DESIGN.md §2b)
+    # exact update direction u = (K+σ²I)⁻¹ (r − prior_x − ε) per path.
+    # Inactive rows are zeroed; the identity-padded factor then returns
+    # zero in those rows (masked-buffer invariant, SURVEY.md §7.3.1).
+    rhs = jnp.where(state.mask[None, :], resid[None, :] - prior_x - eps, 0.0)
+    u = L.cho_solve(state.chol, rhs.T)  # (N_max, n_paths)
+
+    from turbojax import kernels as K
+
+    k_cross = K.get_kernel(config.kernel)(p, xs, state.x_buf)  # (n_cand, N_max)
+    k_cross = jnp.where(state.mask[None, :], k_cross, 0.0)
+    update_c = jnp.matmul(k_cross, u, precision=jax.lax.Precision.HIGHEST).T
+    draws_std = p["mean"] + prior_c + update_c
+    return draws_std * state.y_std + state.y_mean
+
+
+def pathwise_thompson_select(
+    key: Array,
+    state: G.GPState,
+    xs: Array,
+    q: int,
+    config: GPConfig,
+    n_features: int = 1024,
+) -> Tuple[Array, Array]:
+    """Pathwise TS: q decoupled posterior paths, q-batch argmin selection.
+    Enable via ``ts_sampler="pathwise"`` in the loop configs."""
+    draws = pathwise_paths(key, state, xs, q, config, n_features)
+    idxs, vals = select_q_batch(draws)
+    return xs[idxs], vals
+
+
 def rff_thompson_select(
     key: Array,
     state: G.GPState,

@@ -58,6 +58,8 @@ class BOConfig:
     local_sigma: float = 0.05
     ts_chunk: Optional[int] = None
     ts_sampler: str = "exact"  # "exact" (chunked joint chol [B:9]) | "rff"
+    # | "pathwise" (decoupled Matheron update — globally joint, exact
+    # conditioning; acq.pathwise_paths)
     ts_dtype: Optional[str] = None  # "float64": exact-law TS (acq module)
     rff_features: int = 1024
     chol_mode: str = "auto"  # "incremental" | "refactor" | "auto"
@@ -171,6 +173,10 @@ def _suggest(
     if bo.acq == "ts":
         if bo.ts_sampler == "rff":
             xs, _ = A.rff_thompson_select(kt, state, cands, bo.batch_size, config, bo.rff_features)
+        elif bo.ts_sampler == "pathwise":
+            xs, _ = A.pathwise_thompson_select(
+                kt, state, cands, bo.batch_size, config, bo.rff_features
+            )
         else:
             xs, _ = A.thompson_select(
                 kt, state, cands, bo.batch_size, config, bo.ts_chunk, bo.ts_dtype

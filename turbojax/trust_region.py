@@ -57,7 +57,9 @@ class TurboConfig:
     # where high-d Sobol spacing starves refinement (sampling.tr_candidates)
     local_sigma: float = 0.3
     ts_chunk: Optional[int] = None
-    ts_sampler: str = "exact"  # "exact" (chunked joint chol) | "rff" (C13 option)
+    ts_sampler: str = "exact"  # "exact" (chunked joint chol) | "rff" (C13
+    # option) | "pathwise" (decoupled Matheron update: globally joint draws,
+    # exact conditioning through the cached factor — acq.pathwise_paths)
     ts_dtype: Optional[str] = None  # "float64": exact-law TS at deep TR
     # refinement (f64 covariance+factor+draws; needs jax_enable_x64) —
     # see acq.thompson_samples and benchmarks/exp_ts_numerics.py
@@ -242,6 +244,10 @@ def turbo_propose(
         )
         if cfg.ts_sampler == "rff":
             xs, _ = A.rff_thompson_select(k_ts, state, cands, q, config, cfg.rff_features)
+        elif cfg.ts_sampler == "pathwise":
+            xs, _ = A.pathwise_thompson_select(
+                k_ts, state, cands, q, config, cfg.rff_features
+            )
         else:
             xs, _ = A.thompson_select(
                 k_ts, state, cands, q, config, cfg.ts_chunk, cfg.ts_dtype

@@ -87,9 +87,14 @@ def _tr_proposals_and_values(
         cands = S.tr_candidates(
             k_cand, center, c.tr.length, ls, n_cand, cfg.local_frac, cfg.local_sigma
         )
-        values = A.thompson_samples(
-            k_ts, state, cands, q, config, cfg.ts_chunk, cfg.ts_dtype
-        )
+        if cfg.ts_sampler == "pathwise":
+            values = A.pathwise_paths(k_ts, state, cands, q, config, cfg.rff_features)
+        elif cfg.ts_sampler == "rff":
+            values = A.rff_paths(k_ts, state, cands, q, config, cfg.rff_features)
+        else:
+            values = A.thompson_samples(
+                k_ts, state, cands, q, config, cfg.ts_chunk, cfg.ts_dtype
+            )
         return c, cands, values
 
     return lax.cond(in_search, search_branch, init_branch, carry)
