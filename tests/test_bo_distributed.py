@@ -133,11 +133,59 @@ def test_distributed_bo_rejects_bad_layout(key):
             key, _quad, [0.0] * 3, [1.0] * 3,
             BOConfig(n_init=10, max_evals=20, batch_size=8), CFG, mesh,
         )
-    with pytest.raises(ValueError, match="'ei' or 'lcb'"):
+    with pytest.raises(ValueError, match="'ei', 'lcb', or 'ts'"):
         run_bo_distributed(
             key, _quad, [0.0] * 3, [1.0] * 3,
-            BOConfig(n_init=16, max_evals=32, batch_size=8, acq="ts"), CFG, mesh,
+            BOConfig(n_init=16, max_evals=32, batch_size=8, acq="ucb"), CFG, mesh,
         )
+    with pytest.raises(ValueError, match="rff"):
+        run_bo_distributed(
+            key, _quad, [0.0] * 3, [1.0] * 3,
+            BOConfig(n_init=16, max_evals=32, batch_size=8, acq="ts",
+                     ts_sampler="rff"), CFG, mesh,
+        )
+
+
+def test_distributed_bo_pathwise_ts_optimizes(key):
+    """acq='ts' on the forced-distributed route: globally-joint pathwise
+    Thompson batches against the row-sharded surrogate must optimize (the
+    exact chunked sampler is structurally unavailable at N ≫ chip)."""
+    mesh = PAR.make_mesh(8, axis="rows")
+    bo = BOConfig(n_init=16, max_evals=64, batch_size=8, acq="ts",
+                  ts_sampler="pathwise", n_candidates=128, fit_every=2,
+                  rff_features=256)
+    res = run_bo_distributed(
+        key, _quad, [0.0] * 3, [1.0] * 3, bo, CFG, mesh, budget_bytes=1
+    )
+    trace = np.asarray(res.incumbent_trace)
+    assert np.isfinite(trace).all()
+    assert (np.diff(trace) <= 1e-12).all()
+    assert float(res.best_y) < float(res.y_hist[:16].min())
+    assert float(res.best_y) < 0.05
+
+
+def test_distributed_bo_ts_route_equivalence(key):
+    """The SAME call with pinned hypers selects the SAME points on both
+    sides of the memory threshold: the pathwise draws are RNG-layout
+    compatible (test_distributed_linalg.py::test_distributed_pathwise_
+    parity), so crossing the routing boundary never changes TS semantics."""
+    from turbojax import gp as G
+
+    mesh = PAR.make_mesh(4, axis="rows")
+    bo = BOConfig(n_init=8, max_evals=32, batch_size=4, acq="ts",
+                  n_candidates=64, fit_every=0, rff_features=128)
+    fixed = G.default_params(3, CFG, jnp.float32)
+    res_dist = run_bo_distributed(
+        key, _quad, [0.0] * 3, [1.0] * 3, bo, CFG, mesh, budget_bytes=1,
+        fixed_params=fixed,
+    )
+    res_dense = run_bo_distributed(
+        key, _quad, [0.0] * 3, [1.0] * 3, bo, CFG, mesh, fixed_params=fixed,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_dist.x_hist), np.asarray(res_dense.x_hist),
+        rtol=1e-5, atol=1e-6,
+    )
 
 
 def test_distributed_bo_supports_y_warp(key):

@@ -439,3 +439,38 @@ def test_refactor_gp_auto_y_warp_consistent_across_routes(rng):
     mu_dist, var_dist = dist.posterior(xs)
     np.testing.assert_allclose(np.asarray(mu_dist), np.asarray(mu_dense), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(var_dist), np.asarray(var_dense), rtol=1e-5)
+
+
+def test_distributed_pathwise_parity(rng):
+    """Distributed decoupled pathwise draws (Matheron update) are BIT-LAYOUT
+    compatible with the dense sampler: same key → same (Ω, b, w, ε) stream →
+    identical posterior sample paths to solver precision, with the training
+    factor row-sharded. This is the draw that unlocks globally-joint TS on
+    the N ≫ chip BO path (no candidate-covariance factorization exists
+    there by design)."""
+    from turbojax import acq as A
+    from turbojax import gp as G
+    from turbojax.config import GPConfig
+
+    n, d, m, n_paths, feats = 64, 3, 11, 4, 256
+    x = jnp.asarray(rng.rand(n, d))
+    y = jnp.asarray(np.sin(4 * rng.rand(n)) + 0.1 * rng.randn(n))
+    xs = jnp.asarray(rng.rand(m, d))
+    mesh = PAR.make_mesh(4, axis="rows")
+    config = GPConfig()
+    raw = G.default_params(d, config, x.dtype)
+
+    dense = DL.refactor_gp_auto(x, y, raw, config, mesh=None)
+    assert isinstance(dense, DL._DenseGPAdapter)
+    dist = DL.refactor_gp_auto(x, y, raw, config, mesh, panel=16, budget_bytes=1)
+    assert isinstance(dist, DL.DistributedGP)
+
+    key = jax.random.key(11)
+    # dense state buffers are exactly (n, d) here (cap == n), so the RNG
+    # shapes — and therefore the draws — must coincide, not just the moments
+    draws_dense = A.pathwise_paths(key, dense.state, xs, n_paths, config, feats)
+    draws_dist = dist.pathwise_paths(key, xs, n_paths, feats)
+    assert draws_dist.shape == (n_paths, m)
+    np.testing.assert_allclose(
+        np.asarray(draws_dist), np.asarray(draws_dense), rtol=1e-6, atol=1e-8
+    )

@@ -79,8 +79,10 @@ def optimize(
     single-chip GP and the row-block-sharded ``DistributedGP``
     (``distributed_linalg.fit_gp_auto``) on a per-device memory threshold
     (``budget_bytes`` overrides it; SURVEY.md §5.7(b)). Requires
-    ``acq ∈ {"ei", "lcb"}`` and ``n_init``/``batch_size`` multiples of the
-    mesh size (the distributed history is row-sharded without masking).
+    ``acq ∈ {"ei", "lcb", "ts"}`` ("ts" routes to the decoupled pathwise
+    sampler — globally-joint draws without the candidate covariance) and
+    ``n_init``/``batch_size`` multiples of the mesh size (the distributed
+    history is row-sharded without masking).
     """
     lb_t, ub_t = tuple(float(v) for v in lb), tuple(float(v) for v in ub)
     dim = len(lb_t)

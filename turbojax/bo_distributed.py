@@ -8,9 +8,15 @@ row-block-sharded ``DistributedGP`` (in-shard kernel build, blocked
 Cholesky, distributed-MLL Adam fit — no device ever materializes N²).
 Acquisition is EI or LCB over a fresh candidate set against the
 (dense-or-distributed) posterior — exactly call stack §3.3 with the
-training axis sharded. Joint Thompson sampling needs the candidate
-covariance, which the distributed posterior deliberately does not form;
-use EI/LCB here (the reference's plain BO configs do [B:7, B:8]).
+training axis sharded — or batch Thompson sampling via the decoupled
+pathwise sampler (Matheron's rule, ``acq.pathwise_paths`` /
+``distributed_linalg.distributed_pathwise_paths``): globally-joint draws
+with EXACT data conditioning at pure-matmul + one-cached-solve cost. The
+chunked-Cholesky "exact" sampler is structurally unavailable here — it
+factorizes chunk² candidate covariances the distributed posterior
+deliberately never forms — so ``acq="ts"`` always routes to pathwise
+(``ts_sampler="rff"`` is rejected: weight-space conditioning starves at
+the noise floor, docs/DESIGN.md §5b).
 ``GPConfig.y_warp`` is honored: both routing branches model ``warp_y(y)``
 and the EI incumbent is warped at the same choke point (docs/DESIGN.md
 §7b), so crossing the memory threshold never changes model semantics.
@@ -78,14 +84,21 @@ def run_bo_distributed(
 
     ``fn``: (q, d) -> (q,) objective on the original box (jnp or host
     callable — the loop is host-driven either way). ``bo.acq`` must be
-    "ei" or "lcb". Failures (NaN/inf y) are imputed against the history
-    (SURVEY.md §5.3).
+    "ei", "lcb", or "ts" (decoupled pathwise sampler, see module doc;
+    ``bo.rff_features`` sizes the prior path). Failures (NaN/inf y) are
+    imputed against the history (SURVEY.md §5.3).
     """
-    if bo.acq not in ("ei", "lcb"):
+    if bo.acq not in ("ei", "lcb", "ts"):
         raise ValueError(
-            "run_bo_distributed supports acq 'ei' or 'lcb' (joint TS would "
-            "need the dense candidate covariance the distributed posterior "
-            "deliberately avoids)"
+            "run_bo_distributed supports acq 'ei', 'lcb', or 'ts'"
+        )
+    if bo.acq == "ts" and bo.ts_sampler == "rff":
+        raise ValueError(
+            "ts_sampler='rff' is not supported on the distributed path: "
+            "weight-space conditioning starves at the noise floor and the "
+            "exact-conditioning pathwise sampler costs the same matmuls — "
+            "use ts_sampler='pathwise' (or leave the default: 'ts' always "
+            "routes to the pathwise sampler here)"
         )
     n_dev = mesh.devices.size if mesh is not None else 1
     if bo.n_init % n_dev or bo.batch_size % n_dev:
@@ -110,7 +123,7 @@ def run_bo_distributed(
     g = None
     warm = None
     for it in range(bo.n_iters):
-        k_fit, k_cand, k_loc, k_loop = jax.random.split(k_loop, 4)
+        k_fit, k_cand, k_loc, k_ts, k_loop = jax.random.split(k_loop, 5)
         n = x_hist.shape[0]
         panel = _auto_panel(max(n // n_dev, 1))
         if bo.fit_every == 0:
@@ -157,17 +170,34 @@ def run_bo_distributed(
             )
             cands = jnp.concatenate([cands, jnp.clip(loc, 0.0, 1.0)], axis=0)
 
-        mu, var = g.posterior(cands)
-        # model-space rule (docs/DESIGN.md §7b): the surrogate predicts
-        # warp_y(y) on both routing branches, so the EI incumbent must be
-        # warped at the same choke point (monotone warp commutes with min)
-        best = T.warp_y(jnp.min(y_hist), config.y_warp)
-        if bo.acq == "ei":
-            scores = -A.expected_improvement(mu, var, best, bo.xi)
+        if bo.acq == "ts":
+            # decoupled pathwise Thompson draws: globally joint across the
+            # candidate set, exact data conditioning through the cached
+            # (dense or row-sharded) training factor; warped model space is
+            # monotone in y, so argmin selection is unchanged
+            from turbojax.distributed_linalg import DistributedGP
+
+            if isinstance(g, DistributedGP):
+                draws = g.pathwise_paths(k_ts, cands, q, bo.rff_features)
+            else:
+                draws = A.pathwise_paths(
+                    k_ts, g.state, cands, q, config, bo.rff_features
+                )
+            top_idx, _ = A.select_q_batch(draws)
+            x_new = cands[top_idx]
         else:
-            scores = A.lower_confidence_bound(mu, var, bo.kappa)
-        _, top_idx = jax.lax.top_k(-scores, q)
-        x_new = cands[top_idx]
+            mu, var = g.posterior(cands)
+            # model-space rule (docs/DESIGN.md §7b): the surrogate predicts
+            # warp_y(y) on both routing branches, so the EI incumbent must
+            # be warped at the same choke point (monotone warp commutes
+            # with min)
+            best = T.warp_y(jnp.min(y_hist), config.y_warp)
+            if bo.acq == "ei":
+                scores = -A.expected_improvement(mu, var, best, bo.xi)
+            else:
+                scores = A.lower_confidence_bound(mu, var, bo.kappa)
+            _, top_idx = jax.lax.top_k(-scores, q)
+            x_new = cands[top_idx]
 
         y_new = jnp.asarray(
             fn(T.from_unit_cube(x_new, lb_a, ub_a)), jnp.float32

@@ -658,6 +658,95 @@ class DistributedGP:
         logdet = distributed_logdet_from_chol(self.chol, self.mesh)
         return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
+    def pathwise_paths(self, key: Array, xs: Array, n_paths: int,
+                       n_features: int = 1024) -> Array:
+        """Decoupled pathwise posterior draws at ``xs`` (Matheron's rule) —
+        see ``distributed_pathwise_paths``."""
+        return distributed_pathwise_paths(key, self, xs, n_paths, n_features)
+
+
+def distributed_pathwise_paths(
+    key: Array,
+    dgp: "DistributedGP",
+    xs: Array,
+    n_paths: int,
+    n_features: int = 1024,
+) -> Array:
+    """Globally-joint posterior sample paths at ``xs`` against a row-sharded
+    ``DistributedGP`` — the N ≫ chip twin of ``acq.pathwise_paths``
+    (decoupled sampling by Matheron's rule, Wilson et al. 2020):
+
+        f_post(x*) = φ(x*)ᵀw + k(x*, X) (K + σ²I)⁻¹ (r − φ(X)ᵀw − ε),
+
+    w ~ N(0, I_M) a weight-space prior path, ε ~ N(0, σ²I). This is what
+    unlocks joint Thompson sampling on the distributed BO path: the exact
+    chunked sampler needs n_chunk × chunk² candidate-covariance
+    factorizations that the distributed posterior deliberately never forms,
+    while this draw is in-shard matmuls (φ row-blocks and k(X, X*)
+    row-blocks built inside the shard) plus ONE distributed cho_solve
+    against the cached training factor. Per-device live memory is
+    O(N·max(M, n_cand)/D + n_cand·M) — never N² and never n_cand².
+
+    RNG layout mirrors ``acq.pathwise_paths`` exactly (same key → same
+    (Ω, b, w, ε) stream), so the dense and distributed samplers agree to
+    solver precision when N equals the dense buffer capacity
+    (tests/test_distributed_linalg.py::test_distributed_pathwise_parity).
+
+    Returns (n_paths, n_cand) draws in the unstandardized model space
+    (warped-y units under ``y_warp`` — monotone, so argmin selection is
+    unchanged; same convention as ``DistributedGP.posterior``).
+    """
+    from turbojax import acq as A
+
+    mesh, panel = dgp.mesh, dgp.panel
+    axis = mesh.axis_names[0]
+    x = dgp.x
+    n, dim = x.shape
+    p = dgp.params
+    kf, kw, ke = jax.random.split(key, 3)
+    omega, b = A.rff_frequencies(kf, dim, n_features, dgp.kernel, xs.dtype)
+    ls = jnp.broadcast_to(p["lengthscale"], (dim,))
+    w = jax.random.normal(kw, (n_paths, n_features), xs.dtype)
+    eps = jnp.sqrt(p["noise"]) * jax.random.normal(ke, (n_paths, n), xs.dtype)
+
+    # rhs = r − φ(X)ᵀw − ε, row-sharded: the (N/D, M) φ row block is built
+    # inside the shard from the device's own x rows (never a global (N, M)).
+    # All traced values enter as explicit replicated args (module convention:
+    # shard_map bodies never close over tracers).
+    def local_rhs(x_rows, eps_rows, resid_rows, omega_, b_, w_, ls_, os_):
+        phi_rows = A._rff_phi(x_rows, omega_, b_, ls_, os_)
+        prior_rows = jnp.matmul(phi_rows, w_.T, precision=_HI)  # (rows, n_paths)
+        return resid_rows[:, None] - prior_rows - eps_rows
+
+    resid = dgp.y - dgp.mean  # (N,) standardized model-space residual
+    rhs = shard_map(
+        local_rhs, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(None, None),
+                  P(None), P(None, None), P(None), P()),
+        out_specs=P(axis, None), check_vma=False,
+    )(x, eps.T, resid, omega, b, w, ls, p["outputscale"])
+
+    u = distributed_cho_solve(dgp.chol, rhs, mesh, panel)  # (N, n_paths)
+    k_cross = distributed_cross_covariance(
+        p, x, xs, mesh, kernel=dgp.kernel
+    )  # (N, n_cand) row-sharded
+
+    def local_update(k_cross_loc, u_loc):
+        # cancellation-free contraction, but keep the factorization-path
+        # precision rule anyway (docs/DESIGN.md §2b)
+        return lax.psum(jnp.matmul(k_cross_loc.T, u_loc, precision=_HI), axis)
+
+    update = shard_map(
+        local_update, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)), out_specs=P(),
+        check_vma=False,
+    )(k_cross, u)  # (n_cand, n_paths) replicated
+
+    phi_c = A._rff_phi(xs, omega, b, ls, p["outputscale"])  # (n_cand, M)
+    prior_c = jnp.matmul(w, phi_c.T, precision=_HI)  # (n_paths, n_cand)
+    draws_std = dgp.mean + prior_c + update.T
+    return dgp.y_mean + dgp.y_sd * draws_std
+
 
 # --------------------------------------------------------------------------
 # Auto-routing (roadmap item 4): single-chip path below the memory
