@@ -87,6 +87,15 @@ def main():
                     help="TurboConfig.fit_every override: refit cadence in "
                          "accepted batches per TR (default 1 = every batch "
                          "[R]; the remaining wall lever on the dominant TR)")
+    ap.add_argument("--prior", default=None, choices=["none", "dimscaled"],
+                    help="GPConfig.fit_prior override: MAP fit objective "
+                         "(dimscaled = Hvarfner 2024 LogNormal lengthscale "
+                         "prior, the published high-d fit regularizer)")
+    ap.add_argument("--ls-hi", type=float, default=None,
+                    help="upper lengthscale bound override (the reference "
+                         "unit-cube clamp is 2.0; the dimscaled prior's "
+                         "median at d=60 is ~11 — widen to let the MAP "
+                         "express it)")
     ap.add_argument("--fit-ftol", type=float, default=None,
                     help="GPConfig.fit_ftol override: adam-polish early-stop per-step loss-"
                          "improvement tolerance (0 = fixed-depth default; the "
@@ -157,6 +166,12 @@ def main():
         gp_cfg = dataclasses.replace(gp_cfg, grid_polish_both=True)
     if args.fit_ftol is not None:
         gp_cfg = dataclasses.replace(gp_cfg, fit_ftol=args.fit_ftol)
+    if args.prior is not None:
+        gp_cfg = dataclasses.replace(gp_cfg, fit_prior=args.prior)
+    if args.ls_hi is not None:
+        gp_cfg = dataclasses.replace(
+            gp_cfg, lengthscale_bounds=(gp_cfg.lengthscale_bounds[0], args.ls_hi)
+        )
     b = B.get_benchmark(args.benchmark or cfg.benchmark)
     m = args.m or cfg.m
     n_loc = turbo.n_init + turbo.n_iters * turbo.batch_size if args.fixed_cap else None

@@ -79,6 +79,14 @@ class GPConfig:
     # BASELINE.md round-3 "warm-start ARD" campaign. The plain "grid"
     # trainer ignores this (config-4 parity trajectories unchanged).
     learn_mean: bool = False
+    fit_prior: str = "none"  # "dimscaled": add a MAP log-prior to the FIT
+    # objective (gp.log_prior) — LogNormal(√2 + ln(d)/2, √3) on each
+    # lengthscale and LogNormal(−4, 1) on the noise (Hvarfner et al. 2024,
+    # "Vanilla Bayesian Optimization Performs Great in High Dimensions";
+    # PAPERS.md). Counters the MLE's systematic lengthscale collapse as d
+    # grows (overconfident posteriors at d≳30). Fit-time only: mll(),
+    # posteriors, and parity oracles stay prior-free; "none" (default)
+    # traces the identical pre-prior fit program.
     y_warp: str = "none"  # "bilog": model w = sign(y)·log1p(|y|) instead of
     # y (transforms.warp_y) — a flagged extension beyond the reference for
     # heavy-tailed objectives; monotone, so all ranking consumers stay

@@ -501,7 +501,14 @@ def _fit_distributed_raw(raw0, x, y_std, mesh, config: GPConfig, panel: int, ste
     n = x.shape[0]
 
     def loss(raw):
-        return -distributed_mll(raw, x, y_std, mesh, config, panel) / n
+        val = distributed_mll(raw, x, y_std, mesh, config, panel)
+        if config.fit_prior != "none":
+            from turbojax import gp as G
+
+            # same MAP objective as the dense lane's _fit_one (replicated
+            # O(d) compute — stays outside the shard_map)
+            val = val + G.log_prior(raw, x.shape[-1], config)
+        return -val / n
 
     opt = optax.adam(config.fit_lr)
 

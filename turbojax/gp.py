@@ -213,6 +213,40 @@ def mll(raw: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GPConfig
     return -0.5 * (quad + logdet + n_act * _LOG_2PI)
 
 
+def log_prior(raw: GPParams, dim: int, config: GPConfig) -> Array:
+    """Fit-time MAP log-prior over the CONSTRAINED hypers, up to
+    parameter-independent constants (gpytorch convention: added to the MLL
+    with no reparameterization Jacobian, so the argmax is the MAP in the
+    constrained space as gpytorch/BoTorch users expect).
+
+    ``fit_prior="dimscaled"`` is the Hvarfner et al. 2024 high-dimension
+    recipe: ℓᵢ ~ LogNormal(√2 + ln(d)/2, √3) — the location grows like
+    log √d, countering maximum-likelihood's systematic lengthscale collapse
+    as d grows (which yields overconfident posteriors and, under TuRBO,
+    mis-scaled trust-region geometry) — plus σ² ~ LogNormal(−4, 1) on the
+    observation noise. The outputscale stays prior-free (y is standardized).
+    Only the fit objective sees this; ``mll``/posteriors are prior-free.
+    """
+    if config.fit_prior == "none":
+        return jnp.zeros((), raw.raw_outputscale.dtype)
+    if config.fit_prior != "dimscaled":
+        raise ValueError(
+            f"unknown fit_prior {config.fit_prior!r}; expected 'none' or 'dimscaled'"
+        )
+    import math
+
+    p = constrain_params(raw, config)
+
+    def ln_logpdf(x, mu, sigma):
+        lx = jnp.log(x)
+        return -lx - 0.5 * jnp.square((lx - mu) / sigma)
+
+    mu_ls = math.sqrt(2.0) + 0.5 * math.log(float(dim))
+    lp = jnp.sum(ln_logpdf(p["lengthscale"], mu_ls, math.sqrt(3.0)))
+    lp = lp + ln_logpdf(p["noise"], -4.0, 1.0)
+    return lp
+
+
 # --------------------------------------------------------------------------
 # Fit (SURVEY.md C7, C8)
 
@@ -235,10 +269,16 @@ def _fit_one(raw0: GPParams, x_buf: Array, y_std: Array, mask: Array, config: GP
 
     raw0 = _pin(raw0)
 
+    dim = x_buf.shape[-1]
+
     def loss(raw: GPParams) -> Array:
         # _pin here, not only on raw0: the promotion happens INSIDE the
         # optimizer (f64 step size × f32 direction → f64 evaluation point)
-        return -mll(_pin(raw), x_buf, y_std, mask, config) / n_act
+        raw_p = _pin(raw)
+        val = mll(raw_p, x_buf, y_std, mask, config)
+        if config.fit_prior != "none":
+            val = val + log_prior(raw_p, dim, config)  # MAP objective
+        return -val / n_act
 
     if config.fit_optimizer == "adam":
         opt = optax.adam(config.fit_lr)
@@ -390,11 +430,21 @@ def _fit_gp_grid(
         inits = jax.tree.map(lambda g, w: jnp.concatenate([g, w[None]], axis=0), inits, warm)
     n_rows = jax.tree.leaves(inits)[0].shape[0]
     n_cap = x_buf.shape[0]
+
+    def score(r: GPParams) -> Array:
+        # MAP objective when fit_prior is on (log_prior is a no-op constant
+        # otherwise): rows, argmax, and the polish-vs-grid comparison below
+        # all rank by the SAME objective as _fit_one's loss.
+        val = mll(r, x_buf, y_std_buf, mask, config)
+        if config.fit_prior != "none":
+            val = val + log_prior(r, dim, config)
+        return val
+
     lane_bytes = 3 * n_cap * n_cap * jnp.dtype(y_buf.dtype).itemsize
     if n_rows * lane_bytes > _GRID_VMAP_BUDGET_BYTES:
-        mlls = lax.map(lambda r: mll(r, x_buf, y_std_buf, mask, config), inits)
+        mlls = lax.map(score, inits)
     else:
-        mlls = jax.vmap(lambda r: mll(r, x_buf, y_std_buf, mask, config))(inits)
+        mlls = jax.vmap(score)(inits)
     mlls = jnp.where(jnp.isfinite(mlls), mlls, -jnp.inf)
     best = jnp.argmax(mlls)
     raw_best = jax.tree.map(lambda a: a[best], inits)
