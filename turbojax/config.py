@@ -82,8 +82,8 @@ class GPConfig:
     fit_prior: str = "none"  # "dimscaled": add a MAP log-prior to the FIT
     # objective (gp.log_prior) — LogNormal(√2 + ln(d)/2, √3) on each
     # lengthscale and LogNormal(−4, 1) on the noise (Hvarfner et al. 2024,
-    # "Vanilla Bayesian Optimization Performs Great in High Dimensions";
-    # PAPERS.md). Counters the MLE's systematic lengthscale collapse as d
+    # "Vanilla Bayesian Optimization Performs Great in High Dimensions",
+    # arXiv:2402.02229). Counters the MLE's systematic lengthscale collapse as d
     # grows (overconfident posteriors at d≳30). Fit-time only: mll(),
     # posteriors, and parity oracles stay prior-free; "none" (default)
     # traces the identical pre-prior fit program.
