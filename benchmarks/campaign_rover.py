@@ -207,6 +207,8 @@ def main():
         "succ_tol": turbo.tr.succ_tol,
         "kernel": gp_cfg.kernel,
         "y_warp": gp_cfg.y_warp,
+        "fit_prior": gp_cfg.fit_prior,
+        "lengthscale_bounds": list(gp_cfg.lengthscale_bounds),
         "fit_maxiter_warm": gp_cfg.fit_maxiter_warm,
         "grid_warm_start": gp_cfg.grid_warm_start,
         "grid_polish_both": gp_cfg.grid_polish_both,
