@@ -8,8 +8,11 @@ that regime: ``method="bo"``, global EI over unit-cube candidates,
 ackley20 (d=20), 300 evaluations.
 
 Lanes (paired seeds):
-  default   — product default: prior-free, reference lengthscale clamp l<=2
-  clamp     — prior-free, clamp raised to the prior's d=20 mode (~18.4 -> 20)
+  default   — prior-free baseline, reference lengthscale clamp l<=2
+              (fit_optimizer is pinned to grid+adam across ALL lanes — not
+              the shipped lbfgs default for method="bo" — so the A/B
+              isolates the prior/clamp axis)
+  clamp     — prior-free, clamp raised to the prior's d=20 median (~18.4 -> 20)
   prior     — dimscaled MAP prior + raised clamp (the published recipe)
 
 Separating ``clamp`` from ``prior`` attributes any delta to the prior
@@ -40,7 +43,9 @@ from turbojax.config import GPConfig
 
 def lane_config(lane: str) -> GPConfig:
     gp = GPConfig(fit_optimizer="grid+adam")  # ARD fits (the d=20 regime
-    # is exactly where isotropic grids flatten the geometry)
+    # is exactly where isotropic grids flatten the geometry); held constant
+    # across all three lanes — the "default" lane is the prior-free
+    # baseline, not the shipped method="bo" default (which is lbfgs)
     if lane == "default":
         return gp
     gp = dataclasses.replace(gp, lengthscale_bounds=(0.005, 20.0))
