@@ -142,8 +142,10 @@ def test_ts_q10_acquisition_latency():
     """Absolute latency gate on the acquisition path alone (VERDICT r2
     weak #6: ts_q10 drifted 9.1 → 11.2 ms across rounds with nothing
     asserting it). Config-3 geometry [B:9]: N=2000 fit cache, 5k
-    candidates, joint TS chunked at 1000, q=10 — budget 20 ms (≈2× the
-    round-1 measurement; catches step-function regressions, not noise)."""
+    candidates, joint TS chunked at 1000, q=10 — budget 12 ms (≈2× the
+    5.65/5.78 ms measured on this protocol in rounds 3, TPU_LANE_r03;
+    VERDICT r3 weak #3: the old 20 ms budget was 3.5× looser than measured,
+    so a 2–3× acquisition regression would still have passed)."""
     import jax.numpy as jnp
 
     from turbojax import acq as A
@@ -173,5 +175,47 @@ def test_ts_q10_acquisition_latency():
         out = acq(jax.random.key(i))
     jax.block_until_ready(out)
     t_ms = (time.perf_counter() - t0) / reps * 1e3
-    _record("ts_q10_latency", latency_ms=t_ms, budget_ms=20.0)
-    assert t_ms < 20.0, f"ts_q10 acquisition latency {t_ms:.1f} ms > 20 ms budget"
+    _record("ts_q10_latency", latency_ms=t_ms, budget_ms=12.0)
+    assert t_ms < 12.0, f"ts_q10 acquisition latency {t_ms:.1f} ms > 12 ms budget"
+
+
+def test_pathwise_ts_latency():
+    """Latency gate for the decoupled pathwise sampler (VERDICT r3 weak #3:
+    23.2 ms measured in round 3 under a mean-of-30-blocked-dispatch
+    protocol, but no gate at all — and pathwise is the ONLY Thompson route
+    on the distributed N >> chip path, so a silent regression there matters
+    most). Same geometry as ts_q10 (N=2000, 5k candidates, q=10, M=1024
+    features); budget 46 ms ≈ 2× measured."""
+    import jax.numpy as jnp
+
+    from turbojax import acq as A
+    from turbojax import gp as G
+    from turbojax import linalg as L
+    from turbojax.config import GPConfig
+
+    n, n_max, d, n_cand, q = 2000, 2048, 10, 5000, 10
+    rng = np.random.RandomState(0)
+    config = GPConfig(kernel="matern52")
+    x_buf = jnp.zeros((n_max, d), jnp.float32).at[:n].set(
+        jnp.asarray(rng.rand(n, d), jnp.float32)
+    )
+    y_buf = jnp.zeros((n_max,), jnp.float32).at[:n].set(
+        jnp.asarray(np.sin(3 * np.asarray(x_buf[:n, 0])) + 0.1 * rng.randn(n), jnp.float32)
+    )
+    mask = L.row_mask(n_max, n)
+    raw = G.default_params(d, config)
+    state = jax.jit(lambda: G.make_gp_state(x_buf, y_buf, mask, raw, config))()
+    cands = jnp.asarray(rng.rand(n_cand, d), jnp.float32)
+
+    acq = jax.jit(
+        lambda k: A.pathwise_thompson_select(k, state, cands, q, config, 1024)
+    )
+    jax.block_until_ready(acq(jax.random.key(0)))
+    t0 = time.perf_counter()
+    reps = 20
+    for i in range(reps):
+        out = acq(jax.random.key(i))
+    jax.block_until_ready(out)
+    t_ms = (time.perf_counter() - t0) / reps * 1e3
+    _record("pathwise_ts_latency", latency_ms=t_ms, budget_ms=46.0)
+    assert t_ms < 46.0, f"pathwise TS latency {t_ms:.1f} ms > 46 ms budget"
