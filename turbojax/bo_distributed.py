@@ -79,6 +79,10 @@ def run_bo_distributed(
     budget_bytes: int = DENSE_BUDGET_BYTES,
     on_iteration=None,
     fixed_params=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    runlog=None,
 ) -> BigBOResult:
     """BO loop with auto dense/distributed surrogate routing over ``mesh``.
 
@@ -87,6 +91,16 @@ def run_bo_distributed(
     "ei", "lcb", or "ts" (decoupled pathwise sampler, see module doc;
     ``bo.rff_features`` sizes the prior path). Failures (NaN/inf y) are
     imputed against the history (SURVEY.md §5.3).
+
+    Checkpoint/resume (SURVEY.md §5.4; VERDICT r3 missing #2 — N ≫ chip is
+    exactly where runs take hours and a crash is most expensive):
+    ``checkpoint_path`` + ``checkpoint_every=k`` saves the loop state
+    ``(x_hist, y_hist, warm, key)`` + trace every ≥k iterations;
+    ``resume=True`` restores and reproduces the uninterrupted trajectory
+    exactly (the per-iteration keys derive from the saved loop key, and
+    warm-start hypers are part of the state). ``runlog`` (§5.5): a
+    ``runlog.RunLog`` receiving one record per iteration — ``best_y``,
+    history size, dense/distributed route, and the surrogate wall.
     """
     if bo.acq not in ("ei", "lcb", "ts"):
         raise ValueError(
@@ -112,17 +126,48 @@ def run_bo_distributed(
     ub_a = jnp.asarray(ub, jnp.float32)
     q = bo.batch_size
 
-    k_init, k_loop = jax.random.split(key)
-    x_hist = S.latin_hypercube(k_init, bo.n_init, dim)
-    y_hist = jnp.asarray(fn(T.from_unit_cube(x_hist, lb_a, ub_a)), jnp.float32).reshape(-1)
-    y_hist = T.impute_failures(
-        y_hist, jnp.zeros((1,), y_hist.dtype), jnp.zeros((1,), bool)
-    )
+    from turbojax import gp as G
+    from turbojax.checkpoint import RunCheckpointer
 
-    trace = []
-    g = None
+    ckpt = RunCheckpointer(checkpoint_path, checkpoint_every)
+    k_init, k_loop = jax.random.split(key)
+    trace: list = []
     warm = None
-    for it in range(bo.n_iters):
+    restored = None
+    if resume and checkpoint_path:
+        # `like` provides only the treedef — leaf shapes come from the file,
+        # so the grown (n, d) history restores as-is. ``warm`` is always a
+        # GPParams once any iteration completed (both routing branches).
+        like_warm = (
+            fixed_params if fixed_params is not None
+            else G.default_params(dim, config, jnp.float32)
+        )
+        like = {
+            "x": jnp.zeros((0, dim), jnp.float32),
+            "y": jnp.zeros((0,), jnp.float32),
+            "warm": like_warm,
+            "key": k_loop,
+        }
+        restored = ckpt.try_restore(like)
+    if restored is not None:
+        state, trace = restored
+        x_hist, y_hist, warm, k_loop = (
+            state["x"], state["y"], state["warm"], state["key"]
+        )
+    else:
+        x_hist = S.latin_hypercube(k_init, bo.n_init, dim)
+        y_hist = jnp.asarray(
+            fn(T.from_unit_cube(x_hist, lb_a, ub_a)), jnp.float32
+        ).reshape(-1)
+        y_hist = T.impute_failures(
+            y_hist, jnp.zeros((1,), y_hist.dtype), jnp.zeros((1,), bool)
+        )
+
+    import time as _time
+
+    g = None
+    for it in range(len(trace), bo.n_iters):
+        t_it = _time.perf_counter()
         k_fit, k_cand, k_loc, k_ts, k_loop = jax.random.split(k_loop, 5)
         n = x_hist.shape[0]
         panel = _auto_panel(max(n // n_dev, 1))
@@ -134,8 +179,6 @@ def run_bo_distributed(
             # so the same optimize(fit_every=0) call changed surrogate
             # semantics when mesh= was passed.
             if warm is None:
-                from turbojax import gp as G
-
                 warm = (
                     fixed_params
                     if fixed_params is not None
@@ -145,7 +188,11 @@ def run_bo_distributed(
                 x_hist, y_hist, warm, config, mesh, panel=panel,
                 budget_bytes=budget_bytes,
             )
-        elif g is None or it % bo.fit_every == 0:
+        elif warm is None or it % bo.fit_every == 0:
+            # `warm is None` (not `g is None`): on a resumed run g starts
+            # None at an arbitrary `it`, but an off-cadence iteration must
+            # refactor with the restored warm hypers — exactly what the
+            # uninterrupted run did — not sneak in an extra fit
             g = fit_gp_auto(
                 k_fit, x_hist, y_hist, config, mesh, panel=panel,
                 budget_bytes=budget_bytes, warm_start=warm,
@@ -208,6 +255,21 @@ def run_bo_distributed(
         trace.append(float(jnp.min(y_hist)))
         if on_iteration is not None:
             on_iteration(it, trace[-1])
+        if runlog is not None:
+            from turbojax.distributed_linalg import DistributedGP
+
+            runlog.log(
+                it,
+                best_y=trace[-1],
+                n=int(x_hist.shape[0]),
+                route="distributed" if isinstance(g, DistributedGP) else "dense",
+                iter_s=round(_time.perf_counter() - t_it, 4),
+            )
+        ckpt.maybe_save(
+            it + 1,
+            {"x": x_hist, "y": y_hist, "warm": warm, "key": k_loop},
+            trace,
+        )
 
     best_i = jnp.argmin(y_hist)
     return BigBOResult(
