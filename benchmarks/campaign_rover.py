@@ -83,6 +83,13 @@ def main():
     ap.add_argument("--succ-tol", type=int, default=None,
                     help="TRConfig.succ_tol override: consecutive improved "
                          "batches before the TR doubles (default 3 [R])")
+    ap.add_argument("--stagnation-tol", type=int, default=None,
+                    help="TRConfig.stagnation_tol (round-4 opt-in lever): "
+                         "restart a TR after this many consecutive "
+                         "improvement-free search batches (incl. batches "
+                         "the global allocation starved it of) even while "
+                         "length > length_min — the flagship budget "
+                         "produces zero natural restarts")
     ap.add_argument("--fit-every", type=int, default=None,
                     help="TurboConfig.fit_every override: refit cadence in "
                          "accepted batches per TR (default 1 = every batch "
@@ -146,12 +153,15 @@ def main():
         turbo = dataclasses.replace(turbo, ts_sampler=args.ts_sampler)
     if args.fit_every is not None:
         turbo = dataclasses.replace(turbo, fit_every=args.fit_every)
-    if args.fail_tol is not None or args.succ_tol is not None:
+    if (args.fail_tol is not None or args.succ_tol is not None
+            or args.stagnation_tol is not None):
         tr = turbo.tr
         if args.fail_tol is not None:
             tr = dataclasses.replace(tr, fail_tol=args.fail_tol)
         if args.succ_tol is not None:
             tr = dataclasses.replace(tr, succ_tol=args.succ_tol)
+        if args.stagnation_tol is not None:
+            tr = dataclasses.replace(tr, stagnation_tol=args.stagnation_tol)
         turbo = dataclasses.replace(turbo, tr=tr)
     gp_cfg = cfg.gp
     if args.y_warp is not None:

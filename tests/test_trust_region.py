@@ -9,12 +9,13 @@ from turbojax.trust_region import TRState, tr_init, tr_update
 CFG = TRConfig(succ_tol=3, fail_tol=4)
 
 
-def _state(length=0.8, succ=0, fail=0):
+def _state(length=0.8, succ=0, fail=0, stag=0):
     return TRState(
         length=jnp.asarray(length),
         succ=jnp.asarray(succ),
         fail=jnp.asarray(fail),
         restarts=jnp.asarray(0),
+        stag=jnp.asarray(stag),
     )
 
 

@@ -313,3 +313,63 @@ def test_turbom_host_loop_split_fit_plumbing(monkeypatch):
     n_iters = (90 - 4 + 1) // 2
     assert int(np.asarray(carries.n).sum()) <= n_iters * 2
     assert any(r is not None for r in returned)  # split programs actually ran
+
+
+def test_stagnation_restart_triggers():
+    """TRConfig.stagnation_tol (opt-in, round-4): a TR that stops improving
+    restarts after that many improvement-free search batches even though its
+    length never collapses to length_min — on a flat objective with the
+    default fail_tol the length only halves every 2 batches, so stagnation
+    fires restarts long before collapse would."""
+    from turbojax.config import TRConfig
+
+    flat = lambda x: jnp.zeros(x.shape[0], jnp.float32)  # noqa: E731
+    # fail_tol=4: collapse from 0.8 to below 0.5^7 needs 7 halvings = 28
+    # improvement-free batches; the 14-batch budget never collapses
+    base = dict(n_init=4, max_evals=60, batch_size=4, n_candidates=32)
+    cfg_ref = TurboConfig(**base, tr=TRConfig(fail_tol=4))
+    carry_ref, _ = run_turbo1(
+        jax.random.key(1), flat, (0.0,) * 3, (1.0,) * 3, cfg_ref, GCFG
+    )
+    assert int(carry_ref.tr.restarts) == 0  # reference: no collapse
+
+    cfg = TurboConfig(**base, tr=TRConfig(fail_tol=4, stagnation_tol=4))
+    carry, _ = run_turbo1(jax.random.key(1), flat, (0.0,) * 3, (1.0,) * 3, cfg, GCFG)
+    assert int(carry.tr.restarts) >= 2
+    assert int(carry.tr.stag) < 4  # counter reset by the restart
+
+
+def test_stagnation_counts_starved_trs():
+    """A TuRBO-m TR the global allocation starves (zero accepted points)
+    still accumulates stagnation — that's the winner-takes-most scenario
+    the lever exists for (BASELINE.md m-sweep diagnostic)."""
+    from turbojax.config import TRConfig
+    from turbojax.trust_region import make_turbo_carry, turbo_absorb
+
+    cfg = TurboConfig(
+        n_init=4, max_evals=40, batch_size=4, n_candidates=32,
+        tr=TRConfig(stagnation_tol=3),
+    )
+    carry = make_turbo_carry(jax.random.key(0), 3, 16, cfg, GCFG)
+    # put the TR in search phase with 4 active points
+    xs = jnp.linspace(0.1, 0.9, 12, dtype=jnp.float32).reshape(4, 3)
+    ys = jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.float32)
+    carry = turbo_absorb(
+        carry, xs, ys, jnp.ones(4, bool), jnp.asarray(False), cfg, GCFG, 4,
+        jax.random.key(1),
+    )
+    assert int(carry.n) == 4 and int(carry.tr.stag) == 0
+    none_accepted = jnp.zeros(4, bool)
+    for i in range(2):  # starved batches: counters untouched, stag grows
+        carry = turbo_absorb(
+            carry, xs, ys, none_accepted, jnp.asarray(True), cfg, GCFG, 4,
+            jax.random.key(2 + i),
+        )
+    assert int(carry.tr.stag) == 2 and int(carry.tr.restarts) == 0
+    assert int(carry.tr.fail) == 0  # starved batches are not failures
+    carry = turbo_absorb(
+        carry, xs, ys, none_accepted, jnp.asarray(True), cfg, GCFG, 4,
+        jax.random.key(9),
+    )
+    assert int(carry.tr.restarts) == 1  # third starved batch hits the tol
+    assert int(carry.n) == 0  # fresh region

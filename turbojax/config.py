@@ -110,6 +110,13 @@ class TRConfig:
     succ_tol: int = 3
     fail_tol: Optional[int] = None
     success_eps: float = 1e-3
+    stagnation_tol: Optional[int] = None  # opt-in beyond-reference lever:
+    # restart a TR after this many consecutive improvement-free search
+    # batches (counting batches the TuRBO-m allocation starved it of
+    # entirely) even while length > length_min. None = reference parity —
+    # only length collapse restarts (measured: the flagship 2000-eval
+    # budget produces ZERO natural restarts, so the restart machinery is
+    # inert without this; BASELINE.md round-4 stagnation-restart A/B)
 
     def resolved_fail_tol(self, dim: int, batch_size: int) -> int:
         if self.fail_tol is not None:

@@ -84,6 +84,13 @@ class TRState(NamedTuple):
     succ: Array  # () int
     fail: Array  # () int
     restarts: Array  # () int — number of restarts so far
+    stag: Array  # () int — consecutive search-phase batches without an
+    # accepted improvement. Unlike ``fail`` it does NOT reset on shrink,
+    # and it also counts batches where the TR received no allocation at
+    # all (TuRBO-m starvation) — the signal ``TRConfig.stagnation_tol``
+    # triggers early restarts on (BASELINE.md round-3 m-sweep diagnostic:
+    # zero natural restarts at the flagship budget while four of five TRs
+    # idle).
 
 
 def tr_init(dtype=jnp.float32, length_init: float = 0.8) -> TRState:
@@ -92,6 +99,7 @@ def tr_init(dtype=jnp.float32, length_init: float = 0.8) -> TRState:
         succ=jnp.asarray(0),
         fail=jnp.asarray(0),
         restarts=jnp.asarray(0),
+        stag=jnp.asarray(0),
     )
 
 
@@ -122,6 +130,8 @@ def tr_update(
         succ=jnp.where(counted, succ, state.succ),
         fail=jnp.where(counted, fail, state.fail),
         restarts=state.restarts,
+        stag=state.stag,  # stagnation is tracked by turbo_absorb (it also
+        # counts zero-allocation batches, which are not ``counted`` here)
     )
 
 
@@ -150,6 +160,7 @@ def _fresh_restart(carry: TurboCarry, key: Array, dim: int, stream_len: int, tr_
             succ=jnp.asarray(0),
             fail=jnp.asarray(0),
             restarts=carry.tr.restarts + 1,
+            stag=jnp.asarray(0),
         ),
         init_stream=S.latin_hypercube(key, stream_len, dim, carry.x_buf.dtype),
     )
@@ -315,10 +326,25 @@ def turbo_absorb(
     thresh = local_best_before - cfg.tr.success_eps * jnp.abs(local_best_before)
     improved = batch_best < thresh
     counted = jnp.logical_and(in_search, jnp.any(accept))
-    carry = carry._replace(tr=tr_update(carry.tr, improved, counted, cfg.tr, fail_tol))
+    new_tr = tr_update(carry.tr, improved, counted, cfg.tr, fail_tol)
+    # stagnation counter: any search-phase batch without an accepted
+    # improvement — including batches where the global allocation starved
+    # this TR entirely (improved is False then: batch_best = inf)
+    stag = jnp.where(
+        in_search, jnp.where(improved, 0, carry.tr.stag + 1), carry.tr.stag
+    )
+    carry = carry._replace(tr=new_tr._replace(stag=stag))
 
-    # restart when the region collapses [R]
+    # restart when the region collapses [R]; opt-in stagnation trigger
+    # (TRConfig.stagnation_tol): re-seed after that many consecutive
+    # improvement-free search batches even while the length is above
+    # length_min (the flagship budget never collapses a TR naturally —
+    # BASELINE.md round-3 m-sweep diagnostic)
     needs_restart = carry.tr.length < cfg.tr.length_min
+    if cfg.tr.stagnation_tol is not None:
+        needs_restart = jnp.logical_or(
+            needs_restart, carry.tr.stag >= cfg.tr.stagnation_tol
+        )
     carry = lax.cond(
         needs_restart,
         lambda c: _fresh_restart(c, restart_key, dim, _stream_len(cfg), cfg.tr),
