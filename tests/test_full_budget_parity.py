@@ -72,3 +72,52 @@ def test_config4_full_budget_regret_parity():
         f"(ours per-seed: {[round(r, 2) for r in ours]})"
     )
     assert med_oracle < 13.0  # oracle sanity: it is actually optimizing
+
+
+def test_config5_full_budget_regret_parity():
+    """Config-5 anchor (VERDICT r3 task 1): the flagship TuRBO-m config at
+    the FULL 2000-eval rover60 budget vs the reference-algorithm TuRBO-m
+    oracle. The oracle side costs ~20 min/seed of 1-core f64 numpy, so the
+    test reads the committed full-budget campaign results
+    (benchmarks/results_oracle_turbom_rover.json, regenerable via
+    benchmarks/campaign_oracle_turbom.py) rather than re-running it; the
+    build side runs live on the chip (~1-2 min/seed warm).
+
+    Band: the build's median must land at or below the oracle's + 3.0
+    (one documented rover seed-spread quantum; BASELINE.md). The shipped
+    ARD default has measured ~9.5 vs the oracle's isotropic-trainer ~14 —
+    the assert catches a regression of the whole quality margin, not noise.
+    """
+    import json
+
+    oracle_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "results_oracle_turbom_rover.json",
+    )
+    with open(oracle_path) as f:
+        oracle = json.load(f)
+    assert oracle["summary"]["n_seeds"] >= 3, "oracle campaign incomplete"
+    med_oracle = float(oracle["summary"]["median"])
+
+    from benchmarks.regret_harness import run_config
+
+    ours = [run_config("turbom5_rover60", s)["best"] for s in [0, 1, 2]]
+    med_ours = float(np.median(ours))
+    print(
+        "\nTPU_LANE "
+        + json.dumps(
+            {
+                "gate": "config5_full_budget_parity",
+                "median_ours": round(med_ours, 4),
+                "median_oracle": round(med_oracle, 4),
+                "ours_per_seed": [round(r, 3) for r in ours],
+                "oracle_n_seeds": oracle["summary"]["n_seeds"],
+            }
+        ),
+        flush=True,
+    )
+    assert med_oracle < 30.0  # oracle sanity: it is actually optimizing
+    assert med_ours <= med_oracle + 3.0, (
+        f"config-5 parity violated: ours {med_ours:.2f} vs oracle "
+        f"{med_oracle:.2f} (ours per-seed: {[round(r, 2) for r in ours]})"
+    )
