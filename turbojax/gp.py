@@ -142,6 +142,15 @@ def _use_pallas(config: GPConfig, *arrays: Array) -> bool:
     True = force wherever shapes allow, False = never (parity CI lane)."""
     if config.use_pallas is False:
         return False
+    if jax.config.jax_enable_x64:
+        # Mosaic cannot legalize the 64-bit index types jax_enable_x64
+        # injects into the pallas_call grid plumbing (measured round 4:
+        # "failed to legalize operation 'func.return'" through the axon
+        # compile helper, even with all-f32 arrays). x64 processes — the
+        # test suite, any user parity lane — get the mathematically
+        # identical jnp path; the fused kernel is an f32-production-path
+        # optimization.
+        return False
     from turbojax import pallas_kernels as PK
 
     if not PK.pallas_available():
