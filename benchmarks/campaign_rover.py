@@ -94,6 +94,11 @@ def main():
                     help="TurboConfig.fit_every override: refit cadence in "
                          "accepted batches per TR (default 1 = every batch "
                          "[R]; the remaining wall lever on the dominant TR)")
+    ap.add_argument("--fit-optimizer", default=None,
+                    choices=["grid", "grid+adam", "adam", "lbfgs"],
+                    help="GPConfig.fit_optimizer override (e.g. the plain "
+                         "isotropic grid lane for matched-trainer oracle "
+                         "comparisons)")
     ap.add_argument("--prior", default=None, choices=["none", "dimscaled"],
                     help="GPConfig.fit_prior override: MAP fit objective "
                          "(dimscaled = Hvarfner 2024 LogNormal lengthscale "
@@ -164,6 +169,8 @@ def main():
             tr = dataclasses.replace(tr, stagnation_tol=args.stagnation_tol)
         turbo = dataclasses.replace(turbo, tr=tr)
     gp_cfg = cfg.gp
+    if args.fit_optimizer is not None:
+        gp_cfg = dataclasses.replace(gp_cfg, fit_optimizer=args.fit_optimizer)
     if args.y_warp is not None:
         gp_cfg = dataclasses.replace(gp_cfg, y_warp=args.y_warp)
     if args.polish_steps is not None:
