@@ -224,13 +224,18 @@ def main():
         "succ_tol": turbo.tr.succ_tol,
         "kernel": gp_cfg.kernel,
         "y_warp": gp_cfg.y_warp,
+        "fit_optimizer": gp_cfg.fit_optimizer,
         "fit_prior": gp_cfg.fit_prior,
+        "fit_ftol": gp_cfg.fit_ftol,
         "lengthscale_bounds": list(gp_cfg.lengthscale_bounds),
         "fit_maxiter_warm": gp_cfg.fit_maxiter_warm,
         "grid_warm_start": gp_cfg.grid_warm_start,
         "grid_polish_both": gp_cfg.grid_polish_both,
         "alloc_cap": turbo.alloc_cap,
         "fit_every": turbo.fit_every,
+        "ts_sampler": turbo.ts_sampler,
+        "ts_dtype": turbo.ts_dtype,
+        "stagnation_tol": turbo.tr.stagnation_tol,
         "split_fit": not args.no_split_fit,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),
         "bests": [round(v, 4) for v in bests],

@@ -63,7 +63,10 @@ def cmd_gen(args):
     import dataclasses
 
     turbo = dataclasses.replace(cfg.turbo, max_evals=args.evals)
-    b = B.get_benchmark(cfg.benchmark)
+    if args.n_init:
+        turbo = dataclasses.replace(turbo, n_init=args.n_init)
+    bench_name = args.benchmark or cfg.benchmark
+    b = B.get_benchmark(bench_name)
     # Drive the compiled step from the host and keep the DEEPEST-refinement
     # snapshot (smallest TR length with enough local data): restarts discard
     # the local history, so the final carry can be a fresh shallow TR — the
@@ -94,6 +97,8 @@ def cmd_gen(args):
         "raw_mean": np.asarray(carry.raw.raw_mean, np.float32),
         "seed": np.asarray(args.seed),
         "evals": np.asarray(args.evals),
+        "benchmark": np.asarray(bench_name),
+        "n_init": np.asarray(turbo.n_init),
     }
     np.savez(args.out, **out)
     print(
@@ -150,8 +155,9 @@ def cmd_probe(args):
 
     cfg = get_config("turbo1_ackley10")
     config = cfg.gp
-    b = B.get_benchmark(cfg.benchmark)
     d = np.load(args.state)
+    bench_name = str(d["benchmark"]) if "benchmark" in d else cfg.benchmark
+    b = B.get_benchmark(bench_name)
     n = int(d["n"])
     x_buf = jnp.asarray(d["x_buf"])
     y_buf = jnp.asarray(d["y_buf"])
@@ -159,7 +165,7 @@ def cmd_probe(args):
     tr_length = float(d["tr_length"])
     dim = x_buf.shape[1]
     q = cfg.turbo.batch_size
-    n_cand = cfg.turbo.n_candidates or S.n_candidates(dim)
+    n_cand = args.n_cand or cfg.turbo.n_candidates or S.n_candidates(dim)
 
     # deterministic refit from the frozen buffers (the grid fit has no RNG)
     state = G.fit_gp(jax.random.key(0), x_buf, y_buf, mask, config)
@@ -246,6 +252,7 @@ def cmd_probe(args):
     eigs = np.linalg.eigvalsh(cov32_np)
     report = {
         "backend": jax.default_backend(),
+        "benchmark": bench_name,
         "state": os.path.basename(args.state),
         "n": n,
         "tr_length": tr_length,
@@ -334,9 +341,19 @@ def main():
     g.add_argument("--evals", type=int, default=600)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--min-n", type=int, default=150)
+    g.add_argument("--benchmark", default=None,
+                   help="objective override (e.g. lunar60 — freezes a "
+                        "deep-refinement state on the second hermetic 60-D "
+                        "problem; the probe reads it back from the npz)")
+    g.add_argument("--n-init", type=int, default=None)
     g.add_argument("--out", default="/tmp/ts_state.npz")
     p = sub.add_parser("probe")
     p.add_argument("--state", default="/tmp/ts_state.npz")
+    p.add_argument("--n-cand", type=int, default=None,
+                   help="candidate-set size override — set to the config's "
+                        "ts_chunk (e.g. 1000 for config 5) to probe the "
+                        "product's exact per-chunk joint-TS law without the "
+                        "O(n_cand³) f64 reference blowing up on 1-core numpy")
     p.add_argument("--cand-seed", type=int, default=7)
     p.add_argument("--draws", type=int, default=64)
     p.add_argument("--cpu", action="store_true")
