@@ -118,6 +118,12 @@ def main():
                     help="disable the split-capacity fit (docs/DESIGN.md "
                          "§4c): every TR lane fits at the shared bucket "
                          "capacity (the pre-split uniform program)")
+    ap.add_argument("--sobol-scramble", default=None, choices=["shift", "lms"],
+                    help="TurboConfig.sobol_scramble override: candidate "
+                         "stream randomization (shift = digital-shift RQMC "
+                         "default; lms = Matousek LMS+shift, the scipy/"
+                         "reference-stack class — round-5 lunar-residual "
+                         "discriminating axis)")
     ap.add_argument("--ts-sampler", default=None,
                     choices=["exact", "rff", "pathwise"],
                     help="Thompson sampler (acq module): exact chunked "
@@ -156,6 +162,8 @@ def main():
         turbo = dataclasses.replace(turbo, alloc_cap=args.alloc_cap)
     if args.ts_sampler is not None:
         turbo = dataclasses.replace(turbo, ts_sampler=args.ts_sampler)
+    if args.sobol_scramble is not None:
+        turbo = dataclasses.replace(turbo, sobol_scramble=args.sobol_scramble)
     if args.fit_every is not None:
         turbo = dataclasses.replace(turbo, fit_every=args.fit_every)
     if (args.fail_tol is not None or args.succ_tol is not None
@@ -216,6 +224,8 @@ def main():
         "benchmark": args.benchmark or cfg.benchmark,
         "backend": jax.default_backend(),
         "m": m,
+        "max_evals": turbo.max_evals,  # budget-variant artifacts must be
+        "n_iters": turbo.n_iters,      # self-describing (ADVICE r4)
         "batch_size": turbo.batch_size,
         "n_init": turbo.n_init,
         "n_candidates": turbo.n_candidates,  # None = min(100d, 5000)
@@ -235,6 +245,7 @@ def main():
         "fit_every": turbo.fit_every,
         "ts_sampler": turbo.ts_sampler,
         "ts_dtype": turbo.ts_dtype,
+        "sobol_scramble": turbo.sobol_scramble,
         "stagnation_tol": turbo.tr.stagnation_tol,
         "split_fit": not args.no_split_fit,
         "seeds": list(range(args.seed_start, args.seed_start + args.seeds)),

@@ -63,7 +63,7 @@ def cmd_gen(args):
     import dataclasses
 
     turbo = dataclasses.replace(cfg.turbo, max_evals=args.evals)
-    if args.n_init:
+    if args.n_init is not None:
         turbo = dataclasses.replace(turbo, n_init=args.n_init)
     bench_name = args.benchmark or cfg.benchmark
     b = B.get_benchmark(bench_name)
@@ -153,10 +153,16 @@ def cmd_probe(args):
     from turbojax import sampling as S
     from turbojax import transforms as T
 
-    cfg = get_config("turbo1_ackley10")
-    config = cfg.gp
     d = np.load(args.state)
-    bench_name = str(d["benchmark"]) if "benchmark" in d else cfg.benchmark
+    bench_name = str(d["benchmark"]) if "benchmark" in d else "ackley10"
+    # Resolve the gp/turbo settings from the frozen state's benchmark, not a
+    # hardcoded config (ADVICE r4: the lunar probe was only faithful because
+    # config-5b's gp/batch fields happened to coincide with config 4's).
+    cfg = get_config(
+        {"ackley10": "turbo1_ackley10", "rover60": "turbom5_rover60",
+         "lunar60": "turbom5_lunar60"}.get(bench_name, "turbo1_ackley10")
+    )
+    config = cfg.gp
     b = B.get_benchmark(bench_name)
     n = int(d["n"])
     x_buf = jnp.asarray(d["x_buf"])
@@ -165,7 +171,8 @@ def cmd_probe(args):
     tr_length = float(d["tr_length"])
     dim = x_buf.shape[1]
     q = cfg.turbo.batch_size
-    n_cand = args.n_cand or cfg.turbo.n_candidates or S.n_candidates(dim)
+    n_cand = (args.n_cand if args.n_cand is not None
+              else (cfg.turbo.n_candidates or S.n_candidates(dim)))
 
     # deterministic refit from the frozen buffers (the grid fit has no RNG)
     state = G.fit_gp(jax.random.key(0), x_buf, y_buf, mask, config)
@@ -328,10 +335,23 @@ def cmd_probe(args):
         }
     report["true_best_in_cand_set"] = float(f_cands.min())
     report["incumbent"] = float(d["best_y"])
+    report = _sanitize(report)  # strict JSON: NaN/inf -> "nan"/"inf" strings
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)
+
+
+def _sanitize(obj):
+    """Map non-finite floats to strings so round artifacts stay strictly
+    parseable (literal NaN tokens are not valid JSON — ADVICE r4)."""
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return repr(obj)  # 'nan' / 'inf' / '-inf'
+    return obj
 
 
 def main():

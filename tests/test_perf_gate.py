@@ -43,6 +43,22 @@ def _record(gate: str, **measured):
     print("\nTPU_LANE " + json.dumps({"gate": gate, **{k: round(float(v), 4) for k, v in measured.items()}}), flush=True)
 
 
+def _blocked_median_ms(fn, reps: int = 20) -> float:
+    """Per-rep-blocked median latency of ``fn(key)`` in ms (the refit gate's
+    protocol, VERDICT r4 task 8): each rep is individually synchronized with
+    ``block_until_ready`` and the median is taken, so one tunnel-latency
+    hiccup cannot move the reading the way a single pipelined loop can
+    (the pipelined ts_q10 gate read 10.7 ms the same round the
+    per-rep-blocked median was 5.8 ms)."""
+    times = []
+    for i in range(reps):
+        k = jax.random.key(100 + i)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(k))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3
+
+
 def test_fixed_hyper_iteration_speedup_vs_oracle():
     import bench
 
@@ -142,14 +158,14 @@ def test_ts_q10_acquisition_latency():
     """Absolute latency gate on the acquisition path alone (VERDICT r2
     weak #6: ts_q10 drifted 9.1 → 11.2 ms across rounds with nothing
     asserting it). Config-3 geometry [B:9]: N=2000 fit cache, 5k
-    candidates, joint TS chunked at 1000, q=10 — budget 16 ms. Measured
-    history on this exact protocol: 5.65/5.78 ms (round 3, TPU_LANE_r03)
-    but 10.7 ms on an idle box in round 4 — the pipelined-dispatch
-    protocol rides the axon tunnel's day-to-day latency jitter, so the
-    budget is ~1.5× the worst measurement rather than 2× the best
-    (VERDICT r3 weak #3: the old 20 ms budget was 3.5× looser than the
-    then-measured value and would have passed a 2–3× regression; 16 ms
-    still fails a 1.5× regression from the top of the observed range)."""
+    candidates, joint TS chunked at 1000, q=10.
+
+    Round-5 protocol change (VERDICT r4 weak #3 / task 8): the old
+    pipelined-20-reps loop measured tunnel latency jitter as much as the
+    program — its budget was renegotiated twice (20 → 12 → 16 ms) chasing
+    its own readings while the per-rep-blocked median stayed ~5.8 ms.
+    Now per-rep-blocked median (the refit gate's protocol); budget 12 ms
+    ≈ 2× the stable measurement."""
     import jax.numpy as jnp
 
     from turbojax import acq as A
@@ -173,14 +189,9 @@ def test_ts_q10_acquisition_latency():
 
     acq = jax.jit(lambda k: A.thompson_select(k, state, cands, q, config, 1000))
     jax.block_until_ready(acq(jax.random.key(0)))
-    t0 = time.perf_counter()
-    reps = 20
-    for i in range(reps):
-        out = acq(jax.random.key(i))
-    jax.block_until_ready(out)
-    t_ms = (time.perf_counter() - t0) / reps * 1e3
-    _record("ts_q10_latency", latency_ms=t_ms, budget_ms=16.0)
-    assert t_ms < 16.0, f"ts_q10 acquisition latency {t_ms:.1f} ms > 16 ms budget"
+    t_ms = _blocked_median_ms(acq, reps=20)
+    _record("ts_q10_latency", latency_ms=t_ms, budget_ms=12.0)
+    assert t_ms < 12.0, f"ts_q10 acquisition latency {t_ms:.1f} ms > 12 ms budget"
 
 
 def test_pathwise_ts_latency():
@@ -215,11 +226,51 @@ def test_pathwise_ts_latency():
         lambda k: A.pathwise_thompson_select(k, state, cands, q, config, 1024)
     )
     jax.block_until_ready(acq(jax.random.key(0)))
-    t0 = time.perf_counter()
-    reps = 20
-    for i in range(reps):
-        out = acq(jax.random.key(i))
-    jax.block_until_ready(out)
-    t_ms = (time.perf_counter() - t0) / reps * 1e3
+    t_ms = _blocked_median_ms(acq, reps=20)
     _record("pathwise_ts_latency", latency_ms=t_ms, budget_ms=46.0)
     assert t_ms < 46.0, f"pathwise TS latency {t_ms:.1f} ms > 46 ms budget"
+
+
+def test_config5_warm_wall():
+    """End-to-end wall-clock gate for the flagship config (VERDICT r4
+    missing #3): the config-5 warm wall is the product of the AOT bucket
+    ladder, chunk-aligned dispatch, split-capacity fits, and one-ahead
+    prefetch (measured ~61 s warm vs 219 s without the split fit and 448 s
+    cold pre-prefetch — BASELINE.md wall forensics). Quality and per-op
+    latencies are gated elsewhere; without this row a regression of the
+    whole dispatch machinery passes the lane silently.
+
+    Protocol (per-rep semantics like the refit gate): run seed 0 once to
+    compile/load every bucket program this trajectory touches (trajectories
+    are deterministic per seed, so the second identical run is guaranteed
+    compile-free), then time the second run. Budget 125 s ≈ 2× the
+    round-3/4 measured ~61 s warm wall; needs an otherwise-idle box."""
+    import jax.random
+
+    from configs import get_config
+    from turbojax import benchmarks as B
+    from turbojax.compile_cache import enable_persistent_cache
+    from turbojax.turbo_m import run_turbom
+
+    enable_persistent_cache()
+    cfg = get_config("turbom5_rover60")
+    b = B.get_benchmark(cfg.benchmark)
+
+    def one_run():
+        t0 = time.perf_counter()
+        carries, _ = run_turbom(
+            jax.random.key(0), b.fn, b.lb, b.ub, cfg.turbo, cfg.gp, m=cfg.m,
+            host_loop=True, split_fit=True,
+        )
+        jax.block_until_ready(carries.best_y)
+        return time.perf_counter() - t0, float(np.asarray(carries.best_y).min())
+
+    wall_first, best_first = one_run()  # compile/cache-load inclusive
+    wall_warm, best_warm = one_run()
+    assert best_first == best_warm  # deterministic per seed (chaos probe)
+    _record("config5_warm_wall", warm_s=wall_warm, first_run_s=wall_first,
+            budget_s=125.0, best=best_warm)
+    assert wall_warm < 125.0, (
+        f"config-5 warm wall {wall_warm:.1f} s > 125 s budget "
+        f"(first run incl. compile: {wall_first:.1f} s)"
+    )

@@ -339,9 +339,10 @@ class Optimizer:
         factorizations, so it maps to the TS chunk size here.
 
         ``checkpoint_path``/``checkpoint_every``: write the full optimizer
-        state (device carry + host history + RNG) every k tells; restore
-        with ``Optimizer.resume(path, ...)`` and continue deterministically
-        (SURVEY.md §5.4).
+        state (device carry + host history + RNG) every k tells; restore by
+        constructing an identically-configured ``Optimizer`` and calling
+        its ``restore(path)`` method, then continue deterministically
+        (SURVEY.md §5.4; ``tests/test_checkpoint.py``).
 
         ``method="turbom"`` runs m independent trust regions with global
         Thompson allocation (C18 [B:11]); its ``tell`` must follow the

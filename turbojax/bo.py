@@ -51,11 +51,16 @@ class BOConfig:
     fit_every: int = 1  # 0 = never refit (fixed hypers, pure incremental path)
     kappa: float = 2.0
     xi: float = 0.0
-    local_frac: float = 0.3  # fraction of candidates drawn around the
-    # incumbent (Gaussian, ``local_sigma``) — global QMC alone caps the
-    # achievable precision at the candidate spacing (~(1/n)^(1/d));
-    # 0 recovers the pure-global reference behavior [R]
+    local_frac: float = 0.0  # opt-in: fraction of candidates drawn around
+    # the incumbent (Gaussian, ``local_sigma``) — global QMC alone caps the
+    # achievable precision at the candidate spacing (~(1/n)^(1/d)).
+    # 0 (default) = the pure-global reference behavior [R]; the tie-break
+    # rule everywhere is reference parity wins defaults, levers stay opt-in
+    # (VERDICT r4 weak #4; rover A/B measured the pool negative,
+    # BASELINE.md round-3 local-pool re-measure)
     local_sigma: float = 0.05
+    sobol_scramble: str = "shift"  # "shift" | "lms" — see
+    # TurboConfig.sobol_scramble / sampling.sobol_sample
     ts_chunk: Optional[int] = None
     ts_sampler: str = "exact"  # "exact" (chunked joint chol [B:9]) | "rff"
     # | "pathwise" (decoupled Matheron update — globally joint, exact
@@ -161,7 +166,10 @@ def _suggest(
     dim = carry.x_buf.shape[-1]
     kc, kl, kt = jax.random.split(key, 3)
     n_local = int(bo.local_frac * bo.n_candidates)
-    cands = S.sobol_sample(kc, dim, bo.n_candidates - n_local, dtype=carry.x_buf.dtype)
+    cands = S.sobol_sample(
+        kc, dim, bo.n_candidates - n_local, dtype=carry.x_buf.dtype,
+        scramble=bo.sobol_scramble,
+    )
     if n_local:
         mask_n = L.row_mask(carry.y_buf.shape[0], carry.n)
         inc = carry.x_buf[jnp.argmin(jnp.where(mask_n, carry.y_buf, jnp.inf))]

@@ -209,7 +209,10 @@ def run_bo_distributed(
             )
 
         n_local = int(bo.local_frac * bo.n_candidates)
-        cands = S.sobol_sample(k_cand, dim, bo.n_candidates - n_local, jnp.float32)
+        cands = S.sobol_sample(
+            k_cand, dim, bo.n_candidates - n_local, jnp.float32,
+            scramble=bo.sobol_scramble,
+        )
         if n_local:
             inc = x_hist[jnp.argmin(y_hist)]
             loc = inc + bo.local_sigma * jax.random.normal(

@@ -55,15 +55,84 @@ def sobol_raw(dim: int, n: int, start_index: int = 0, dtype=jnp.float32) -> Arra
     return acc.astype(dtype) / (2.0**_SOBOL_BITS)
 
 
-def sobol_sample(key: Array, dim: int, n: int, dtype=jnp.float32) -> Array:
-    """Digitally-shifted Sobol: a fresh randomization per key, jit-traceable."""
+def _parity(x: Array) -> Array:
+    """Bitwise parity (popcount mod 2) of uint32 lanes, pure jnp."""
+    x = x ^ (x >> 16)
+    x = x ^ (x >> 8)
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return x & jnp.uint32(1)
+
+
+def lms_scramble_sv(sv: Array, rows: Array) -> Array:
+    """Apply a linear matrix scramble (Matousek) to Sobol direction numbers.
+
+    ``sv``: (dim, 30) uint32 direction numbers (30-bit, MSB = most
+    significant fraction bit). ``rows``: (dim, 30) uint32 GF(2) matrix rows
+    in integer-bit encoding — row ``i`` (i=0 acts on the most significant
+    output bit) has its forced diagonal at integer bit position ``29−i``,
+    random bits only at strictly-higher positions, zeros below. Output bit
+    position ``29−i`` of each scrambled direction number is
+    ``parity(rows[d, i] & v)``.
+
+    This is bit-exactly scipy's ``Sobol(scramble=True)`` ``_cscramble``
+    convention (lower-triangular MSB-first matrices acting on each
+    direction-number column; verified in ``tests/test_sampling.py`` by
+    replaying scipy's own rng draws through this function). LMS of the
+    generating matrices commutes with point generation, so scrambling the
+    30 direction numbers once is equivalent to scrambling every point."""
+    # (dim, 30 rows, 30 direction numbers) -> parity -> weighted sum
+    par = _parity(rows[:, :, None] & sv[:, None, :])  # (dim, i, b)
+    weights = (jnp.uint32(1) << (jnp.uint32(_SOBOL_BITS - 1) - jnp.arange(_SOBOL_BITS, dtype=jnp.uint32)))
+    return jnp.sum(par * weights[None, :, None], axis=1, dtype=jnp.uint32)
+
+
+def lms_random_rows(key: Array, dim: int) -> Array:
+    """Random LMS row masks for ``lms_scramble_sv``: per dim an independent
+    lower-triangular (MSB-first) random GF(2) matrix with unit diagonal."""
+    rnd = jax.random.bits(key, (dim, _SOBOL_BITS), jnp.uint32)
+    i = jnp.arange(_SOBOL_BITS, dtype=jnp.uint32)
+    diag = jnp.uint32(1) << (jnp.uint32(_SOBOL_BITS - 1) - i)
+    # strictly-above-diagonal positions: p >= 30 - i (empty for i = 0)
+    high = jnp.where(
+        i > 0,
+        (jnp.uint32((1 << _SOBOL_BITS) - 1)
+         & ~((jnp.uint32(1) << (jnp.uint32(_SOBOL_BITS) - i)) - jnp.uint32(1))),
+        jnp.uint32(0),
+    )
+    return (rnd & high[None, :]) | diag[None, :]
+
+
+def sobol_sample(
+    key: Array, dim: int, n: int, dtype=jnp.float32, scramble: str = "shift"
+) -> Array:
+    """Randomized Sobol points, jit-traceable, fresh randomization per key.
+
+    ``scramble``:
+      - ``"shift"``: digital shift only (XOR with per-dim random 30-bit
+        offsets) — preserves uniform marginals and the net's dyadic
+        stratification, but NOT the scrambling-based variance reduction of
+        nested/linear scrambles in high dimensions.
+      - ``"lms"``: Matousek linear matrix scramble + digital shift — the
+        same randomization class as ``scipy.stats.qmc.Sobol(scramble=True)``
+        (the reference stack's stream, and the stream the f64 numpy oracle
+        campaigns use), implemented in-jit over the same Joe-Kuo table.
+        A fresh random matrix per call/key (each BO iteration draws its own
+        scramble, the standard RQMC usage).
+    """
     sv = jnp.asarray(_direction_numbers(dim))
+    if scramble == "lms":
+        k_lms, key = jax.random.split(key)
+        sv = lms_scramble_sv(sv, lms_random_rows(k_lms, dim))
+    elif scramble != "shift":
+        raise ValueError(f"unknown scramble {scramble!r}; use 'shift' or 'lms'")
     idx = jnp.arange(n, dtype=jnp.uint32)
     gray = idx ^ (idx >> 1)
     acc = jnp.zeros((n, dim), jnp.uint32)
     for b in range(_SOBOL_BITS):
         take = ((gray >> b) & 1).astype(jnp.uint32)
-        acc = acc ^ take[:, None] * sv[None, :, b]
+        acc = acc ^ take[:, None] * sv[:, b][None, :]
     shift = jax.random.bits(key, (dim,), jnp.uint32) >> (32 - _SOBOL_BITS)
     acc = acc ^ shift[None, :]
     return acc.astype(dtype) / (2.0**_SOBOL_BITS)
@@ -97,6 +166,7 @@ def tr_candidates(
     n_cand: int,
     local_frac: float = 0.0,
     local_sigma: float = 0.3,
+    scramble: str = "shift",
 ) -> Array:
     """TuRBO trust-region candidates in the unit cube (SURVEY.md C17 [R]).
 
@@ -120,7 +190,9 @@ def tr_candidates(
     lb = jnp.clip(center - half, 0.0, 1.0)
     ub = jnp.clip(center + half, 0.0, 1.0)
     n_local = int(round(local_frac * n_cand))
-    pert = lb + (ub - lb) * sobol_sample(ks, dim, n_cand - n_local, dtype=center.dtype)
+    pert = lb + (ub - lb) * sobol_sample(
+        ks, dim, n_cand - n_local, dtype=center.dtype, scramble=scramble
+    )
     if n_local:
         g = center + local_sigma * half * jax.random.normal(kl, (n_local, dim), center.dtype)
         pert = jnp.concatenate([pert, jnp.clip(g, lb, ub)], axis=0)

@@ -56,6 +56,10 @@ class TurboConfig:
     # instead of uniform Sobol-in-box — densifies the pool near the center
     # where high-d Sobol spacing starves refinement (sampling.tr_candidates)
     local_sigma: float = 0.3
+    sobol_scramble: str = "shift"  # candidate-stream randomization
+    # (sampling.sobol_sample): "shift" = digital-shift RQMC; "lms" =
+    # Matousek linear matrix scramble + shift, the scipy/reference-stack
+    # stream class (see the round-5 discriminating A/B in BASELINE.md)
     ts_chunk: Optional[int] = None
     ts_sampler: str = "exact"  # "exact" (chunked joint chol) | "rff" (C13
     # option) | "pathwise" (decoupled Matheron update: globally joint draws,
@@ -251,7 +255,8 @@ def turbo_propose(
         center = c.x_buf[best_idx]
         ls = jnp.broadcast_to(state.params["lengthscale"], (dim,))
         cands = S.tr_candidates(
-            k_cand, center, c.tr.length, ls, n_cand, cfg.local_frac, cfg.local_sigma
+            k_cand, center, c.tr.length, ls, n_cand, cfg.local_frac,
+            cfg.local_sigma, cfg.sobol_scramble,
         )
         if cfg.ts_sampler == "rff":
             xs, _ = A.rff_thompson_select(k_ts, state, cands, q, config, cfg.rff_features)

@@ -85,7 +85,8 @@ def _tr_proposals_and_values(
         center = c.x_buf[best_idx]
         ls = jnp.broadcast_to(state.params["lengthscale"], (dim,))
         cands = S.tr_candidates(
-            k_cand, center, c.tr.length, ls, n_cand, cfg.local_frac, cfg.local_sigma
+            k_cand, center, c.tr.length, ls, n_cand, cfg.local_frac,
+            cfg.local_sigma, cfg.sobol_scramble,
         )
         if cfg.ts_sampler == "pathwise":
             values = A.pathwise_paths(k_ts, state, cands, q, config, cfg.rff_features)
