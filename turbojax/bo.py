@@ -67,6 +67,10 @@ class BOConfig:
     # conditioning; acq.pathwise_paths)
     ts_dtype: Optional[str] = None  # "float64": exact-law TS (acq module)
     rff_features: int = 1024
+    cand_shard_min: Optional[int] = None  # distributed loop only: minimum
+    # candidate count before the EI/LCB candidate axis shards over the mesh
+    # (None = bo_distributed.CAND_SHARD_MIN, the measured crossover;
+    # 0 forces sharding at any size — test/measurement lanes)
     chol_mode: str = "auto"  # "incremental" | "refactor" | "auto"
     # Measured on TPU v5e at N=2048: one chol_append is a latency-bound
     # single-rhs trsm (~10 ms) while a full refactorization is a parallel

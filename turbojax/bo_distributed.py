@@ -52,6 +52,17 @@ from turbojax.distributed_linalg import (
 
 Array = jax.Array
 
+CAND_SHARD_MIN = 32768
+# Candidate count below which the candidate axis is NOT sharded even on a
+# multi-device mesh (SURVEY.md C14 "shard candidate axis" — the product
+# routing decision, VERDICT r4 missing #4). At the reference candidate cap
+# min(100d, 5000) the single-chip batched posterior+acq is latency-bound
+# (~6 ms at N=2000, BENCH_components), so splitting it buys nothing and
+# pays shard_map dispatch + an all-gather; the axis starts to matter when
+# the per-device compute is tens of ms — measured crossover on the 8-dev
+# CPU mesh in docs/DESIGN.md §8b. Override per run with
+# BOConfig.cand_shard_min (0 forces sharding — the exact-match test lane).
+
 
 class BigBOResult(NamedTuple):
     x_hist: Array  # (n, d) original box
@@ -236,18 +247,42 @@ def run_bo_distributed(
             top_idx, _ = A.select_q_batch(draws)
             x_new = cands[top_idx]
         else:
-            mu, var = g.posterior(cands)
+            from turbojax.distributed_linalg import DistributedGP
+
             # model-space rule (docs/DESIGN.md §7b): the surrogate predicts
             # warp_y(y) on both routing branches, so the EI incumbent must
             # be warped at the same choke point (monotone warp commutes
             # with min)
             best = T.warp_y(jnp.min(y_hist), config.y_warp)
-            if bo.acq == "ei":
-                scores = -A.expected_improvement(mu, var, best, bo.xi)
+            n_dev = mesh.devices.size if mesh is not None else 1
+            cand_min = (bo.cand_shard_min if bo.cand_shard_min is not None
+                        else CAND_SHARD_MIN)
+            if (n_dev > 1 and not isinstance(g, DistributedGP)
+                    and cands.shape[0] % n_dev == 0
+                    and q <= cands.shape[0] // n_dev
+                    and cands.shape[0] >= cand_min):
+                # candidate-axis sharding (SURVEY.md C14 / §2.6 DP row):
+                # the dense GP state replicates, candidates shard, and the
+                # global top-q rides an all-gather of q·n_dev survivors.
+                # Only above CAND_SHARD_MIN: at the reference cap
+                # (min(100d, 5000)) the single-chip acquisition is
+                # latency-bound (~6 ms) and sharding is pure overhead —
+                # see docs/DESIGN.md §8b (round-5 measurement)
+                from turbojax.parallel import sharded_acq_topq
+
+                x_new, _ = sharded_acq_topq(
+                    g.state, cands, best, q, mesh, config,
+                    acq="ei" if bo.acq == "ei" else "lcb", kappa=bo.kappa,
+                    xi=bo.xi,
+                )
             else:
-                scores = A.lower_confidence_bound(mu, var, bo.kappa)
-            _, top_idx = jax.lax.top_k(-scores, q)
-            x_new = cands[top_idx]
+                mu, var = g.posterior(cands)
+                if bo.acq == "ei":
+                    scores = -A.expected_improvement(mu, var, best, bo.xi)
+                else:
+                    scores = A.lower_confidence_bound(mu, var, bo.kappa)
+                _, top_idx = jax.lax.top_k(-scores, q)
+                x_new = cands[top_idx]
 
         y_new = jnp.asarray(
             fn(T.from_unit_cube(x_new, lb_a, ub_a)), jnp.float32

@@ -59,6 +59,7 @@ def sharded_acq_topq(
     config: GPConfig,
     acq: str = "ei",
     kappa: float = 2.0,
+    xi: float = 0.0,
 ) -> Tuple[Array, Array]:
     """Evaluate EI/LCB over a device-sharded candidate set and return the
     global top-q (points, scores). The GP state is replicated (16 MB at
@@ -75,7 +76,7 @@ def sharded_acq_topq(
     def local(state_rep: G.GPState, cands_loc: Array, best_rep: Array):
         mu, var = G.gp_posterior(state_rep, cands_loc, config)
         if acq == "ei":
-            scores = -A.expected_improvement(mu, var, best_rep)
+            scores = -A.expected_improvement(mu, var, best_rep, xi)
         elif acq == "lcb":
             scores = A.lower_confidence_bound(mu, var, kappa)
         else:
