@@ -43,6 +43,7 @@ def test_optimize_turbom():
     assert res.incumbent_trace.shape[0] > 0
 
 
+@pytest.mark.slow
 def test_optimize_bo_mesh_routes_distributed():
     """optimize(mesh=...) is the front door for the N ≫ chip workflow
     (VERDICT r2 task 5): same Result surface, surrogate forced through the

@@ -23,6 +23,7 @@ def _quad(x):
     return jnp.sum((x - 0.3) ** 2, axis=-1)
 
 
+@pytest.mark.slow
 def test_distributed_bo_optimizes_forced_distributed(key):
     mesh = PAR.make_mesh(8, axis="rows")
     bo = BOConfig(n_init=16, max_evals=56, batch_size=8, acq="ei",
@@ -38,6 +39,7 @@ def test_distributed_bo_optimizes_forced_distributed(key):
     assert float(res.best_y) < 0.05
 
 
+@pytest.mark.slow
 def test_distributed_bo_dense_route_matches_surface(key):
     """Below the threshold the same call runs the dense path — one surface."""
     mesh = PAR.make_mesh(8, axis="rows")
@@ -48,6 +50,7 @@ def test_distributed_bo_dense_route_matches_surface(key):
     assert float(res.best_y) < 0.1
 
 
+@pytest.mark.slow
 def test_distributed_bo_candidate_sharded_route_matches(key, monkeypatch):
     """Candidate-axis sharding as a product route (VERDICT r4 missing #4 /
     SURVEY.md C14): forcing the route (cand_shard_min=0) on the 8-device
@@ -89,6 +92,7 @@ def test_distributed_bo_candidate_sharded_route_matches(key, monkeypatch):
     assert abs(float(res_shard.best_y) - float(res_plain.best_y)) < 0.05
 
 
+@pytest.mark.slow
 def test_distributed_bo_imputes_failures(key):
     mesh = PAR.make_mesh(4, axis="rows")
 
@@ -106,6 +110,7 @@ def test_distributed_bo_imputes_failures(key):
 
 
 @pytest.mark.parametrize("budget_bytes", [1, None])  # distributed / dense route
+@pytest.mark.slow
 def test_refactor_sees_new_data(key, budget_bytes):
     """refactor_gp_auto: the off-iteration factor refresh absorbs the grown
     history at pinned hypers — a stale fitted object must not be reused
@@ -133,6 +138,7 @@ def test_refactor_sees_new_data(key, budget_bytes):
     assert err_new <= err_old + 1e-9
 
 
+@pytest.mark.slow
 def test_distributed_bo_fixed_hypers_still_learns(key):
     """fit_every=0 pins the hypers but the loop must keep refreshing the
     factorization over new data (dense run_bo's fixed-hyper semantics)."""
@@ -145,6 +151,7 @@ def test_distributed_bo_fixed_hypers_still_learns(key):
     assert float(res.best_y) < float(res.y_hist[:8].min())
 
 
+@pytest.mark.slow
 def test_distributed_bo_fit_every_zero_never_fits(key, monkeypatch):
     """Regression (round-3 review): fit_every=0 means NEVER fit on the dense
     route (bo.py '0 = never refit'); the distributed route used to sneak one
@@ -187,6 +194,7 @@ def test_distributed_bo_rejects_bad_layout(key):
         )
 
 
+@pytest.mark.slow
 def test_distributed_bo_pathwise_ts_optimizes(key):
     """acq='ts' on the forced-distributed route: globally-joint pathwise
     Thompson batches against the row-sharded surrogate must optimize (the
@@ -205,6 +213,7 @@ def test_distributed_bo_pathwise_ts_optimizes(key):
     assert float(res.best_y) < 0.05
 
 
+@pytest.mark.slow
 def test_distributed_bo_ts_route_equivalence(key):
     """The SAME call with pinned hypers selects the SAME points on both
     sides of the memory threshold: the pathwise draws are RNG-layout
@@ -229,6 +238,7 @@ def test_distributed_bo_ts_route_equivalence(key):
     )
 
 
+@pytest.mark.slow
 def test_distributed_bo_supports_y_warp(key):
     """y_warp on the distributed product path (model-space rule,
     docs/DESIGN.md §7b): both routing branches now model warp_y(y) and the

@@ -4,6 +4,7 @@ full optimizer pytree (including the PRNG key) bit-exactly."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from turbojax import checkpoint as CK
 from turbojax.config import GPConfig
@@ -199,6 +200,7 @@ def test_optimize_resume_kwarg(tmp_path):
     assert res.best_y == ref.best_y
 
 
+@pytest.mark.slow
 def test_run_bo_distributed_checkpoint_resume(tmp_path):
     """The N >> chip driver survives a kill (VERDICT r3 missing #2): killed
     at iteration 3, resumed, and the trace + final best equal the

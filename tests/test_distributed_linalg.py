@@ -107,6 +107,7 @@ def test_distributed_gp_class(rng):
     np.testing.assert_allclose(float(dgp.mll()), gp.mll(), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_distributed_mll_is_differentiable(rng):
     """grad of the distributed MLL w.r.t. kernel hypers matches the dense
     grad — shard_map/all_gather/psum all transpose, so distributed
@@ -208,6 +209,7 @@ def test_distributed_kernel_chol_matches_dense_build(rng):
     np.testing.assert_allclose(np.asarray(l_sharded), l_ref, rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_distributed_mll_matches_dense_mll(rng):
     """distributed_mll (one fused shard_map: in-shard kernel rows -> blocked
     chol -> forward solve -> logdet) == gp.mll on the same data, and so do
@@ -237,6 +239,7 @@ def test_distributed_mll_matches_dense_mll(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_fit_distributed_gp_matches_dense_trajectory(rng):
     """Hyperparameter FITTING at N >> one buffer: Adam on the distributed
     MLL lands on the same hypers as Adam on the dense MLL (same init, same
@@ -278,6 +281,7 @@ def test_fit_distributed_gp_matches_dense_trajectory(rng):
     np.testing.assert_allclose(np.asarray(var_d), np.asarray(var_ref), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_distributed_fit_never_returns_nan_hypers(rng):
     """The dense lane's fit invariant on the distributed path (VERDICT r2
     weak #2): exact-duplicate rows + a vanishing noise floor make the
@@ -357,6 +361,7 @@ def test_distributed_mll_grad_memory(rng):
     )
 
 
+@pytest.mark.slow
 def test_fit_gp_auto_routes_on_threshold(rng):
     """fit_gp_auto: dense path below the memory threshold, distributed above
     (forced via a tiny budget); both expose the same surface."""
@@ -410,6 +415,7 @@ def test_fit_gp_auto_dense_adapter_mll_respects_y_warp(rng):
     np.testing.assert_allclose(float(g.mll()), expect, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_refactor_gp_auto_y_warp_consistent_across_routes(rng):
     """The model-space rule (docs/DESIGN.md §7b) must hold on BOTH sides of
     the auto-routing threshold: with y_warp set and the SAME pinned hypers,
@@ -441,6 +447,7 @@ def test_refactor_gp_auto_y_warp_consistent_across_routes(rng):
     np.testing.assert_allclose(np.asarray(var_dist), np.asarray(var_dense), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_distributed_pathwise_parity(rng):
     """Distributed decoupled pathwise draws (Matheron update) are BIT-LAYOUT
     compatible with the dense sampler: same key → same (Ω, b, w, ε) stream →

@@ -50,6 +50,7 @@ def test_example_turbom_rover():
     assert "best y" in _run("run_turbom_rover.py", "--evals", "60", "--m", "2")
 
 
+@pytest.mark.slow
 def test_example_distributed_bo():
     """The N >> chip BO product path example on a 4-device virtual mesh."""
     env = dict(os.environ)

@@ -94,6 +94,7 @@ def test_sharded_thompson_mesh1_matches_unsharded(rng, key):
     np.testing.assert_allclose(np.asarray(vals), np.asarray(vals_ref), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_turbom_step_runs(key):
     """One TR-axis-sharded TuRBO-m step on the 4-device mesh (C18/EP analog;
     the path dryrun_multichip exercises, asserted here in CI)."""
@@ -124,6 +125,7 @@ def test_sharded_turbom_step_runs(key):
     assert int(np.asarray(carries.n).sum()) == q  # exactly one batch landed
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [2, 4])
 def test_sharded_fit_runs_and_matches_quality(rng, key, n_dev):
     """Restart-sharded fit (C8) reaches the same-or-better MLL as vmap-only."""
@@ -145,6 +147,7 @@ def test_sharded_fit_runs_and_matches_quality(rng, key, n_dev):
     np.testing.assert_allclose(mll_sh, mll_ref, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_fit_gp_respects_y_warp(rng, key):
     """Code-review regression: sharded_fit_gp must fit the same (warped,
     standardized) targets gp.fit_gp does when GPConfig.y_warp is set —
@@ -167,6 +170,7 @@ def test_sharded_fit_gp_respects_y_warp(rng, key):
         rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_turbom_step_imputes_failures(key):
     """Code-review regression (§5.3 on the sharded path): an all-NaN batch
     must be imputed with the degenerate 1e6 floor (empty history) and never

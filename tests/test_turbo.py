@@ -91,6 +91,7 @@ def test_turbom_runs_and_improves(ackley_turbom):
     assert np.all(np.asarray(carries.n) >= 8)
 
 
+@pytest.mark.slow
 def test_turbom_host_loop_matches_scan():
     """host_loop=True drives the identical jitted step — same trajectory as
     the monolithic scan for the same key (docs/DESIGN.md)."""
@@ -104,6 +105,7 @@ def test_turbom_host_loop_matches_scan():
     np.testing.assert_array_equal(np.asarray(carries_s.n), np.asarray(carries_h.n))
 
 
+@pytest.mark.slow
 def test_turbom_host_loop_bucket_growth():
     """Bucketed buffer growth (docs/DESIGN.md): buffers start at 32 and
     double; trajectory invariants hold across growth boundaries."""
@@ -235,6 +237,7 @@ def test_split_cap_bounds():
     assert cap_b == 1024 and cap_b >= 600 + 16 * 10 and cap_b >= _CAPB_MIN
 
 
+@pytest.mark.slow
 def test_turbom_split_fit_step_exactness():
     """Split-capacity proposals (_split_proposals): the largest lane runs
     the identical full-capacity program (bitwise-equal warm-chain hypers);
@@ -285,6 +288,7 @@ def test_turbom_split_fit_step_exactness():
         assert np.isfinite(y).all()
 
 
+@pytest.mark.slow
 def test_turbom_host_loop_split_fit_plumbing(monkeypatch):
     """The host driver's split-fit plumbing end-to-end: with a lowered
     _CAPB_MIN the ladder compiles and dispatches split programs mid-run
@@ -315,6 +319,7 @@ def test_turbom_host_loop_split_fit_plumbing(monkeypatch):
     assert any(r is not None for r in returned)  # split programs actually ran
 
 
+@pytest.mark.slow
 def test_stagnation_restart_triggers():
     """TRConfig.stagnation_tol (opt-in, round-4): a TR that stops improving
     restarts after that many improvement-free search batches even though its
