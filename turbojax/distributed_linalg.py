@@ -21,14 +21,16 @@ materializes the dense N×N matrix**: kernel row-blocks are built *inside*
 the shard from replicated X (``distributed_kernel_chol``), so the largest
 live per-device array is the (N/D, N) row block.
 
-The panel loop is a ``lax.fori_loop`` (static trip count → constant program
-size and reverse-differentiable): at N=32k/panel=128 that is 250 iterations
-of ONE compiled body instead of 250 statically-unrolled bodies, which the
-remote-tunnel compiler cannot digest. The loop body applies the trailing
-update at full masked width (zeros beyond the frontier), trading ≤3×
-trailing-GEMM FLOPs (N³/D vs N³/3D per device, at MXU rates) for O(1)
-program size; ``unroll=True`` recovers the FLOP-optimal narrow updates for
-small panel counts.
+The panel loop has two lanes, auto-routed on panel count (``unroll="auto"``
+= unroll iff n/panel ≤ ``UNROLL_MAX_PANELS``, round 5): the **unrolled**
+lane emits one body per panel with FLOP-optimal narrow trailing slices —
+measured 2× faster than fori at 8–32 panels on the 8-dev CPU mesh,
+bringing the 8-dev chol overhead vs dense to 2.3–2.8×
+(benchmarks/results_chol_unroll.json) — while the **fori** lane
+(``lax.fori_loop``, one compiled body, full-width masked trailing update,
+≤3× trailing-GEMM FLOPs for O(1) program size) remains the large-N route:
+at N=32k/panel=128 a 250-body unrolled program is something the
+remote-tunnel compiler cannot digest.
 
 Gradients: ``distributed_mll`` carries a closed-form custom VJP
 (∂MLL/∂K = ½(ααᵀ − K⁻¹) via two extra distributed substitutions), so
@@ -69,6 +71,24 @@ def _check(n: int, n_dev: int, panel: int) -> int:
     rows = n // n_dev
     assert rows % panel == 0, "panel must divide N/D"
     return rows
+
+
+UNROLL_MAX_PANELS = 32
+# "auto" unroll routing (round 5, VERDICT r4 task 6): the fori lane's
+# full-width masked trailing update does ~2x the GEMM FLOPs of the
+# unrolled narrow-slice lane; measured on the 8-dev CPU mesh at N=4096
+# (benchmarks/results_chol_unroll.json): unroll wins 2.0x/2.1x/1.6x at
+# n_panels 8/16/32, dropping the 8-dev chol overhead vs dense from
+# 4.5-5.4x to 2.3-2.8x (inside the pure FLOP-trade bound). Program size
+# grows linearly with panel count, so auto unrolls only at <= 32 panels
+# (compile 10 s vs 5.5 s there; the fori lane remains the large-N route
+# and the remote tunnel never sees a multi-hundred-body program).
+
+
+def _resolve_unroll(unroll, n: int, panel: int) -> bool:
+    if unroll == "auto":
+        return (n // panel) <= UNROLL_MAX_PANELS
+    return bool(unroll)
 
 
 # --------------------------------------------------------------------------
@@ -204,11 +224,12 @@ def _row0(axis: str, rows: int):
 
 
 def distributed_cholesky(k_mat: Array, mesh: Mesh, panel: int = 128,
-                         unroll: bool = False) -> Array:
+                         unroll="auto") -> Array:
     """Lower factor of SPD ``k_mat``, row-block-sharded on the mesh axis."""
     axis = mesh.axis_names[0]
     n = k_mat.shape[0]
     rows = _check(n, mesh.devices.size, panel)
+    unroll = _resolve_unroll(unroll, n, panel)
 
     def local(a_loc: Array) -> Array:
         return _local_chol(a_loc, axis, _row0(axis, rows), rows, panel, n, unroll)
@@ -218,11 +239,12 @@ def distributed_cholesky(k_mat: Array, mesh: Mesh, panel: int = 128,
 
 
 def distributed_solve_lower(l_mat: Array, b: Array, mesh: Mesh, panel: int = 128,
-                            unroll: bool = False) -> Array:
+                            unroll="auto") -> Array:
     """x = L⁻¹ b with L row-block-sharded and b (N, m) sharded the same way."""
     axis = mesh.axis_names[0]
     n = l_mat.shape[0]
     rows = _check(n, mesh.devices.size, panel)
+    unroll = _resolve_unroll(unroll, n, panel)
 
     def local(l_loc: Array, b_loc: Array) -> Array:
         return _local_solve_lower(l_loc, b_loc, axis, _row0(axis, rows), rows, panel, n, unroll)
@@ -235,11 +257,12 @@ def distributed_solve_lower(l_mat: Array, b: Array, mesh: Mesh, panel: int = 128
 
 
 def distributed_solve_upper_t(l_mat: Array, b: Array, mesh: Mesh, panel: int = 128,
-                              unroll: bool = False) -> Array:
+                              unroll="auto") -> Array:
     """x = L⁻ᵀ b (backward substitution), same sharding as above."""
     axis = mesh.axis_names[0]
     n = l_mat.shape[0]
     rows = _check(n, mesh.devices.size, panel)
+    unroll = _resolve_unroll(unroll, n, panel)
 
     def local(l_loc: Array, b_loc: Array) -> Array:
         return _local_solve_upper_t(l_loc, b_loc, axis, _row0(axis, rows), rows, panel, n, unroll)
@@ -252,7 +275,7 @@ def distributed_solve_upper_t(l_mat: Array, b: Array, mesh: Mesh, panel: int = 1
 
 
 def distributed_cho_solve(l_mat: Array, b: Array, mesh: Mesh, panel: int = 128,
-                          unroll: bool = False) -> Array:
+                          unroll="auto") -> Array:
     """(L Lᵀ)⁻¹ b — forward then backward distributed substitution."""
     return distributed_solve_upper_t(
         l_mat, distributed_solve_lower(l_mat, b, mesh, panel, unroll), mesh, panel, unroll
@@ -323,7 +346,7 @@ def distributed_logdet_from_chol(l_mat: Array, mesh: Mesh) -> Array:
 
 def distributed_kernel_chol(
     params: Dict[str, Array], x: Array, mesh: Mesh, panel: int = 128,
-    kernel: str = "matern52", unroll: bool = False, jitter: float = 0.0,
+    kernel: str = "matern52", unroll="auto", jitter: float = 0.0,
 ) -> Array:
     """Row-sharded Cholesky of k(X,X)+σ²I with the kernel row-blocks built
     *inside* the shard from replicated X — the largest per-device live array
@@ -339,6 +362,7 @@ def distributed_kernel_chol(
     axis = mesh.axis_names[0]
     n = x.shape[0]
     rows = _check(n, mesh.devices.size, panel)
+    unroll = _resolve_unroll(unroll, n, panel)
     kfn = K.get_kernel(kernel)
 
     def local(x_rows: Array, x_full: Array, p: Dict[str, Array]) -> Array:
@@ -397,9 +421,10 @@ def _mll_parts(raw, x: Array, y_std: Array, mesh: Mesh, config: GPConfig, panel:
         # jitter × mean(diag) with diag = outputscale + noise (stationary)
         bump = p["noise"] + config.jitter * (p["outputscale"] + p["noise"])
         k_loc = kfn(p, x_rows, x_full).at[r, row0 + r].add(bump)
-        l_loc = _local_chol(k_loc, axis, row0, rows, panel, n)
+        unroll = _resolve_unroll("auto", n, panel)  # fit path: measured 2x
+        l_loc = _local_chol(k_loc, axis, row0, rows, panel, n, unroll)
         resid = (y_loc - p["mean"])[:, None]
-        v_loc = _local_solve_lower(l_loc, resid, axis, row0, rows, panel, n)
+        v_loc = _local_solve_lower(l_loc, resid, axis, row0, rows, panel, n, unroll)
         quad = lax.psum(jnp.sum(v_loc * v_loc), axis)
         logdet = lax.psum(2.0 * jnp.sum(jnp.log(l_loc[r, row0 + r])), axis)
         return quad, logdet, l_loc, v_loc
