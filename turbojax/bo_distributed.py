@@ -58,9 +58,10 @@ CAND_SHARD_MIN = 32768
 # routing decision, VERDICT r4 missing #4). At the reference candidate cap
 # min(100d, 5000) the single-chip batched posterior+acq is latency-bound
 # (~6 ms at N=2000, BENCH_components), so splitting it buys nothing and
-# pays shard_map dispatch + an all-gather; the axis starts to matter when
-# the per-device compute is tens of ms — measured crossover on the 8-dev
-# CPU mesh in docs/DESIGN.md §8b. Override per run with
+# pays shard_map dispatch + an all-gather; measured on the 8-dev CPU mesh
+# (docs/DESIGN.md §8b, round 5): at 5000 candidates the route is a LOSS
+# (12× work overhead, implied 0.66× at 8 chips), first pays at ~32k
+# (2.9× overhead → implied 2.8×), asymptote ~2.5×. Override per run with
 # BOConfig.cand_shard_min (0 forces sharding — the exact-match test lane).
 
 
